@@ -1,0 +1,541 @@
+"""Conditional DDPM/DDIM core, functional JAX.
+
+TPU-native rebuild of the reference ``ConditionalDiffusion``
+(reference: algorithms/diffusion_animation/denoising_diffusion.py:420-993).
+
+Design: the schedule is a pytree of fp32 tables (:class:`Schedule`); the
+model is passed as a closure ``model_fn(x, cond, t, self_cond) -> out`` bound
+to parameters by the caller.  The full reverse loops (ancestral
+``p_sample_loop`` :700-729 and ``ddim_sample`` :731-774) compile to single
+XLA programs via ``lax.scan`` — the "north-star kernel" of the rebuild — with
+``return_every`` subsampling of the trajectory so validation does not
+materialize all 1001 frames in HBM.
+
+Parity notes (runtime behavior of the reference, not its dead code):
+ * min-SNR loss weighting is registered but NOT applied in ``_loss``
+   (denoising_diffusion.py:975-981 — disabled with a print); we keep the
+   table in the schedule for API parity and likewise do not apply it.
+ * The pyramid ``_loss`` shifted-warp loop runs only the (0,0) shift
+   (denoising_diffusion.py:930-931 ``range(0, 1)``) — reproduced.
+ * ``noise_space='flow'`` is dead code upstream (``permute_warp`` is a pass
+   stub, warp.py:181-228): any attempt to run it there crashes.  Gated off
+   here with a clear error.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import nan_mse_stats
+
+Array = jax.Array
+ModelFn = Callable[..., Array]
+
+
+# ---------------------------------------------------------------------------
+# Beta schedules (reference :427-461)
+# ---------------------------------------------------------------------------
+
+def linear_beta_schedule(timesteps: int) -> jnp.ndarray:
+    scale = 1000.0 / timesteps
+    return jnp.linspace(
+        scale * 1e-4, scale * 0.02, timesteps, dtype=jnp.float64
+    )
+
+
+def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> jnp.ndarray:
+    steps = timesteps + 1
+    t = jnp.linspace(0, timesteps, steps, dtype=jnp.float64) / timesteps
+    ac = jnp.cos((t + s) / (1 + s) * math.pi * 0.5) ** 2
+    ac = ac / ac[0]
+    betas = 1 - (ac[1:] / ac[:-1])
+    return jnp.clip(betas, 0, 0.999)
+
+
+def sigmoid_beta_schedule(
+    timesteps: int, start: float = -3, end: float = 3, tau: float = 1
+) -> jnp.ndarray:
+    steps = timesteps + 1
+    t = jnp.linspace(0, timesteps, steps, dtype=jnp.float64) / timesteps
+    v_start = jax.nn.sigmoid(jnp.asarray(start / tau, jnp.float64))
+    v_end = jax.nn.sigmoid(jnp.asarray(end / tau, jnp.float64))
+    ac = (-jax.nn.sigmoid((t * (end - start) + start) / tau) + v_end) / (v_end - v_start)
+    ac = ac / ac[0]
+    betas = 1 - (ac[1:] / ac[:-1])
+    return jnp.clip(betas, 0, 0.999)
+
+
+_SCHEDULES = {
+    "linear": linear_beta_schedule,
+    "cosine": cosine_beta_schedule,
+    "sigmoid": sigmoid_beta_schedule,
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """Diffusion schedule tables (reference buffers, :511-578), fp32."""
+
+    betas: Array
+    alphas_cumprod: Array
+    alphas_cumprod_prev: Array
+    sqrt_alphas_cumprod: Array
+    sqrt_one_minus_alphas_cumprod: Array
+    log_one_minus_alphas_cumprod: Array
+    sqrt_recip_alphas_cumprod: Array
+    sqrt_recipm1_alphas_cumprod: Array
+    posterior_variance: Array
+    posterior_log_variance_clipped: Array
+    posterior_mean_coef1: Array
+    posterior_mean_coef2: Array
+    loss_weight: Array
+
+    num_timesteps: int = dataclasses.field(metadata=dict(static=True), default=1000)
+    sampling_timesteps: int = dataclasses.field(metadata=dict(static=True), default=1000)
+    objective: str = dataclasses.field(metadata=dict(static=True), default="pred_x0")
+    ddim_sampling_eta: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    noise_space: str = dataclasses.field(metadata=dict(static=True), default="image")
+
+    @property
+    def is_ddim_sampling(self) -> bool:
+        return self.sampling_timesteps < self.num_timesteps
+
+
+def make_schedule(
+    timesteps: int = 1000,
+    sampling_timesteps: Optional[int] = None,
+    objective: str = "pred_x0",
+    beta_schedule: str = "sigmoid",
+    ddim_sampling_eta: float = 0.0,
+    min_snr_loss_weight: bool = False,
+    min_snr_gamma: float = 5.0,
+    noise_space: str = "image",
+) -> Schedule:
+    """Build all schedule tables in float64 then cast (reference :502-578)."""
+    assert objective in ("pred_noise", "pred_x0", "pred_v")
+    if noise_space != "image":
+        raise NotImplementedError(
+            "noise_space='flow' is dead code in the reference (permute_warp "
+            "stub, warp.py:181) and is gated off in this rebuild."
+        )
+    betas = _SCHEDULES[beta_schedule](timesteps)
+    alphas = 1.0 - betas
+    ac = jnp.cumprod(alphas)
+    ac_prev = jnp.concatenate([jnp.ones((1,), ac.dtype), ac[:-1]])
+
+    post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+
+    snr = ac / (1 - ac)
+    clipped_snr = jnp.minimum(snr, min_snr_gamma) if min_snr_loss_weight else snr
+    if objective == "pred_noise":
+        loss_weight = clipped_snr / snr
+    elif objective == "pred_x0":
+        loss_weight = clipped_snr
+    else:
+        loss_weight = clipped_snr / (snr + 1)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return Schedule(
+        betas=f32(betas),
+        alphas_cumprod=f32(ac),
+        alphas_cumprod_prev=f32(ac_prev),
+        sqrt_alphas_cumprod=f32(jnp.sqrt(ac)),
+        sqrt_one_minus_alphas_cumprod=f32(jnp.sqrt(1.0 - ac)),
+        log_one_minus_alphas_cumprod=f32(jnp.log(1.0 - ac)),
+        sqrt_recip_alphas_cumprod=f32(jnp.sqrt(1.0 / ac)),
+        sqrt_recipm1_alphas_cumprod=f32(jnp.sqrt(1.0 / ac - 1)),
+        posterior_variance=f32(post_var),
+        posterior_log_variance_clipped=f32(jnp.log(jnp.clip(post_var, 1e-20))),
+        posterior_mean_coef1=f32(betas * jnp.sqrt(ac_prev) / (1.0 - ac)),
+        posterior_mean_coef2=f32((1.0 - ac_prev) * jnp.sqrt(alphas) / (1.0 - ac)),
+        loss_weight=f32(loss_weight),
+        num_timesteps=int(timesteps),
+        sampling_timesteps=int(sampling_timesteps or timesteps),
+        objective=objective,
+        ddim_sampling_eta=float(ddim_sampling_eta),
+        noise_space=noise_space,
+    )
+
+
+def extract(a: Array, t: Array, ndim: int) -> Array:
+    """Gather per-timestep coefficients, broadcast to ndim (reference :422-425)."""
+    out = a[t]
+    return out.reshape(out.shape + (1,) * (ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# Forward process / predictions (reference :589-663, 806-821)
+# ---------------------------------------------------------------------------
+
+def q_sample(sched: Schedule, x_start: Array, t: Array, noise: Array) -> Array:
+    nd = x_start.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * x_start
+        + extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+    )
+
+
+def predict_start_from_noise(sched, x_t, t, noise):
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x_t
+        - extract(sched.sqrt_recipm1_alphas_cumprod, t, nd) * noise
+    )
+
+
+def predict_noise_from_start(sched, x_t, t, x0):
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x_t - x0
+    ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
+
+
+def predict_v(sched, x_start, t, noise):
+    nd = x_start.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * noise
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * x_start
+    )
+
+
+def predict_start_from_v(sched, x_t, t, v):
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * x_t
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * v
+    )
+
+
+def q_posterior(sched, x_start, x_t, t):
+    nd = x_t.ndim
+    mean = (
+        extract(sched.posterior_mean_coef1, t, nd) * x_start
+        + extract(sched.posterior_mean_coef2, t, nd) * x_t
+    )
+    var = extract(sched.posterior_variance, t, nd)
+    log_var = extract(sched.posterior_log_variance_clipped, t, nd)
+    return mean, var, log_var
+
+
+def model_predictions(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x: Array,
+    t: Array,
+    x_self_cond: Optional[Array] = None,
+    clip_x_start: bool = False,
+    rederive_pred_noise: bool = False,
+    external_cond: Optional[Array] = None,
+    additional_channels: int = 0,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """(pred_noise, pred_x_start, additional_out) — reference :634-664."""
+    out = model_fn(x, external_cond, t, x_self_cond)
+    additional = None
+    if additional_channels:
+        additional = out[..., -additional_channels:]
+        out = out[..., :-additional_channels]
+
+    clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
+
+    if sched.objective == "pred_noise":
+        pred_noise = out
+        x_start = clip(predict_start_from_noise(sched, x, t, pred_noise))
+        if clip_x_start and rederive_pred_noise:
+            pred_noise = predict_noise_from_start(sched, x, t, x_start)
+    elif sched.objective == "pred_x0":
+        x_start = clip(out)
+        pred_noise = predict_noise_from_start(sched, x, t, x_start)
+    else:  # pred_v
+        x_start = clip(predict_start_from_v(sched, x, t, out))
+        pred_noise = predict_noise_from_start(sched, x, t, x_start)
+    return pred_noise, x_start, additional
+
+
+# ---------------------------------------------------------------------------
+# Training losses (reference :823-983)
+# ---------------------------------------------------------------------------
+
+def pyramid_loss(
+    image_out: Array,
+    target: Array,
+    flow_tgt: Optional[Array] = None,
+    external_cond: Optional[Array] = None,
+    flow_out: Optional[Array] = None,
+    warp_fn: Optional[Callable] = None,
+    levels: Tuple[int, ...] = (1, 2, 4, 8, 16),
+) -> Array:
+    """The reference ``_loss`` (denoising_diffusion.py:893-983).
+
+    Level 1 is a NaN-aware MSE between model image and target; higher levels
+    compare the model-flow forward warp of the conditioning against the
+    box-downsampled target (both via the fused scale splat), each scaled by
+    ``level**4``.  The reference concatenates per-element losses of all terms
+    and takes one global nanmean; accumulating (sum, count) pairs is exactly
+    equivalent and jit-safe.
+    """
+    s, n = nan_mse_stats(image_out, target)
+    total_sum, total_cnt = s, n
+    if flow_tgt is not None:
+        for level in levels:
+            if level == 1:
+                continue
+            warped = warp_fn(external_cond, flow_out, scale=level)
+            tgt_ds = warp_fn(target, jnp.zeros_like(flow_out), scale=level)
+            s, n = nan_mse_stats(warped, tgt_ds)
+            total_sum = total_sum + s * (level ** 4)
+            total_cnt = total_cnt + n
+    return total_sum / jnp.maximum(total_cnt, 1)
+
+
+def p_losses(
+    sched: Schedule,
+    model_fn: ModelFn,
+    rng: jax.Array,
+    x_start: Array,
+    t: Array,
+    external_cond: Optional[Array] = None,
+    additional_tgt: Optional[Array] = None,
+    warp_fn: Optional[Callable] = None,
+    self_condition: bool = False,
+    image_channels: int = 3,
+    model_out_override: Optional[Tuple[Array, Optional[Array]]] = None,
+    offset_noise_strength: float = 0.0,
+) -> Array:
+    """Training loss (reference :823-891)."""
+    rng_noise, rng_sc, rng_off = jax.random.split(rng, 3)
+    noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
+    if offset_noise_strength > 0.0:
+        off = jax.random.normal(
+            rng_off, x_start.shape[:1] + (1, 1) + x_start.shape[-1:], x_start.dtype
+        )
+        noise = noise + offset_noise_strength * off
+
+    x = q_sample(sched, x_start, t, noise)
+
+    x_self_cond = None
+    if self_condition:
+        def _sc(_):
+            _, xs, _ = model_predictions(
+                sched, model_fn, x, t, external_cond=external_cond
+            )
+            return jax.lax.stop_gradient(xs)
+
+        use = jax.random.bernoulli(rng_sc)
+        x_self_cond = jax.lax.cond(
+            use, _sc, lambda _: jnp.zeros_like(x), operand=None
+        )
+
+    if model_out_override is not None:
+        model_out, additional_out = model_out_override
+    else:
+        model_out = model_fn(x, external_cond, t, x_self_cond)
+        additional_out = None
+        if additional_tgt is not None:
+            k = additional_tgt.shape[-1]
+            additional_out = model_out[..., -k:]
+            model_out = model_out[..., :-k]
+
+    if sched.objective == "pred_noise":
+        target = noise
+    elif sched.objective == "pred_x0":
+        target = x_start
+    else:
+        target = predict_v(sched, x_start, t, noise)
+
+    if additional_tgt is not None:
+        return pyramid_loss(
+            model_out, target, additional_tgt, external_cond, additional_out, warp_fn
+        )
+    if target.shape[-1] == image_channels + 2:  # joint target (image + flow)
+        c = image_channels
+        return pyramid_loss(
+            model_out[..., :c], target[..., :c], target[..., c:],
+            external_cond, model_out[..., c:], warp_fn,
+        )
+    return pyramid_loss(model_out, target)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (reference :666-784)
+# ---------------------------------------------------------------------------
+
+def p_sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    rng: jax.Array,
+    shape: Tuple[int, ...],
+    external_cond: Optional[Array] = None,
+    additional_channels: int = 0,
+    return_every: Optional[int] = None,
+):
+    """Ancestral sampling as one scanned XLA program (reference :700-729).
+
+    Returns ``img`` or, with ``return_every=k``, a trajectory stacked on axis
+    1 containing the initial noise plus the state after every k steps —
+    matching the reference's ``return_all_timesteps`` + ``[:, ::k]`` pattern
+    when k divides num_timesteps.
+    """
+    T = sched.num_timesteps
+    rng, init_rng = jax.random.split(rng)
+    img0 = jax.random.normal(init_rng, shape, jnp.float32)
+
+    def step(carry, t):
+        img, rng = carry
+        rng, noise_rng = jax.random.split(rng)
+        bt = jnp.full((shape[0],), t, jnp.int32)
+        _, x_start, additional = model_predictions(
+            sched, model_fn, img, bt,
+            external_cond=external_cond, additional_channels=additional_channels,
+        )
+        x_start = jnp.clip(x_start, -1.0, 1.0)
+        mean, _, log_var = q_posterior(sched, x_start, img, bt)
+        noise = jax.random.normal(noise_rng, shape, jnp.float32)
+        noise = jnp.where(t > 0, noise, 0.0)
+        img = mean + jnp.exp(0.5 * log_var) * noise
+        return (img, rng), additional
+
+    if return_every is None:
+        (img, _), last_additional = jax.lax.scan(
+            step, (img0, rng), jnp.arange(T - 1, -1, -1)
+        )
+        additional = (
+            None if additional_channels == 0
+            else jax.tree_util.tree_map(lambda a: a[-1], last_additional)
+        )
+        return img, additional
+
+    k = int(return_every)
+    assert T % k == 0, "return_every must divide num_timesteps"
+    ts = jnp.arange(T - 1, -1, -1).reshape(T // k, k)
+
+    def chunk(carry, t_chunk):
+        carry, adds = jax.lax.scan(step, carry, t_chunk)
+        add_last = (
+            None if additional_channels == 0
+            else jax.tree_util.tree_map(lambda a: a[-1], adds)
+        )
+        return carry, (carry[0], add_last)
+
+    (img, _), (traj, adds) = jax.lax.scan(chunk, (img0, rng), ts)
+    traj = jnp.concatenate([img0[None], traj], axis=0)  # (T//k + 1, B, ...)
+    traj = jnp.moveaxis(traj, 0, 1)  # (B, T//k+1, ...)
+    if additional_channels:
+        adds = jnp.moveaxis(adds, 0, 1)
+    else:
+        adds = None
+    return traj, adds
+
+
+def ddim_sample(
+    sched: Schedule,
+    model_fn: ModelFn,
+    rng: jax.Array,
+    shape: Tuple[int, ...],
+    external_cond: Optional[Array] = None,
+    return_every: Optional[int] = None,
+):
+    """DDIM sampling loop as one scanned XLA program (reference :731-774)."""
+    T, S, eta = sched.num_timesteps, sched.sampling_timesteps, sched.ddim_sampling_eta
+    times = jnp.linspace(-1, T - 1, S + 1).astype(jnp.int32)
+    times = times[::-1]
+    pairs = jnp.stack([times[:-1], times[1:]], axis=1)  # (S, 2)
+
+    rng, init_rng = jax.random.split(rng)
+    img0 = jax.random.normal(init_rng, shape, jnp.float32)
+
+    def step(carry, pair):
+        img, rng = carry
+        t, t_next = pair[0], pair[1]
+        rng, noise_rng = jax.random.split(rng)
+        bt = jnp.full((shape[0],), t, jnp.int32)
+        pred_noise, x_start, _ = model_predictions(
+            sched, model_fn, img, bt,
+            clip_x_start=True, rederive_pred_noise=True, external_cond=external_cond,
+        )
+        alpha = sched.alphas_cumprod[t]
+        alpha_next = jnp.where(t_next < 0, 1.0, sched.alphas_cumprod[t_next])
+        sigma = eta * jnp.sqrt(
+            (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+        )
+        c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma ** 2, 0.0))
+        noise = jax.random.normal(noise_rng, shape, jnp.float32)
+        out = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+        out = jnp.where(t_next < 0, x_start, out)
+        return (out, rng), out
+
+    (img, _), traj = jax.lax.scan(step, (img0, rng), pairs)
+    if return_every is None:
+        return img, None
+    traj = jnp.concatenate([img0[None], traj], axis=0)
+    traj = jnp.moveaxis(traj, 0, 1)[:, ::return_every]
+    return traj, None
+
+
+def sample(
+    sched: Schedule,
+    model_fn: ModelFn,
+    rng: jax.Array,
+    shape: Tuple[int, ...],
+    external_cond: Optional[Array] = None,
+    additional_channels: int = 0,
+    return_every: Optional[int] = None,
+):
+    """Dispatcher (reference :776-784): DDIM when sampling_timesteps < T."""
+    if sched.is_ddim_sampling:
+        return ddim_sample(
+            sched, model_fn, rng, shape, external_cond, return_every
+        )
+    return p_sample_loop(
+        sched, model_fn, rng, shape, external_cond, additional_channels, return_every
+    )
+
+
+def interpolate(
+    sched: Schedule,
+    model_fn: ModelFn,
+    rng: jax.Array,
+    x1: Array,
+    x2: Array,
+    t: Optional[int] = None,
+    lam: float = 0.5,
+    external_cond: Optional[Array] = None,
+) -> Array:
+    """Latent interpolation (reference :786-804)."""
+    t = sched.num_timesteps - 1 if t is None else t
+    rng, k1, k2 = jax.random.split(rng, 3)
+    bt = jnp.full((x1.shape[0],), t, jnp.int32)
+    xt1 = q_sample(sched, x1, bt, jax.random.normal(k1, x1.shape, x1.dtype))
+    xt2 = q_sample(sched, x2, bt, jax.random.normal(k2, x2.shape, x2.dtype))
+    img = (1 - lam) * xt1 + lam * xt2
+
+    def step(carry, i):
+        img, rng = carry
+        rng, noise_rng = jax.random.split(rng)
+        bt = jnp.full((x1.shape[0],), i, jnp.int32)
+        _, x_start, _ = model_predictions(
+            sched, model_fn, img, bt, external_cond=external_cond
+        )
+        x_start = jnp.clip(x_start, -1.0, 1.0)
+        mean, _, log_var = q_posterior(sched, x_start, img, bt)
+        noise = jax.random.normal(noise_rng, img.shape, img.dtype)
+        noise = jnp.where(i > 0, noise, 0.0)
+        return (mean + jnp.exp(0.5 * log_var) * noise, rng), None
+
+    (img, _), _ = jax.lax.scan(step, (img, rng), jnp.arange(t - 1, -1, -1))
+    return img
+
+
+__all__ = [
+    "Schedule", "make_schedule", "extract", "q_sample", "q_posterior",
+    "predict_start_from_noise", "predict_noise_from_start", "predict_v",
+    "predict_start_from_v", "model_predictions", "p_losses", "pyramid_loss",
+    "p_sample_loop", "ddim_sample", "sample", "interpolate",
+    "linear_beta_schedule", "cosine_beta_schedule", "sigmoid_beta_schedule",
+]

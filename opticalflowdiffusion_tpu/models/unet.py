@@ -1,0 +1,335 @@
+"""Denoising UNet backbone, flax.linen, NHWC.
+
+TPU-native rebuild of the reference's lucidrains-style UNet
+(reference: algorithms/diffusion_animation/denoising_diffusion.py:81-417):
+weight-standardized 3x3 convs + GroupNorm blocks with time scale/shift,
+linear attention at every resolution, quadratic attention at the bottleneck,
+sinusoidal (or random/learned) time embedding, pixel-unshuffle downsample and
+nearest-upsample, optional ``time_in=False`` for pure image-to-image use and
+``external_cond`` channel concatenation.
+
+Compute dtype is configurable (bf16 on TPU); params and normalization
+statistics stay fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class WSConv(nn.Module):
+    """Weight-standardized conv (reference denoising_diffusion.py:101-114)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        eps = 1e-5
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+        kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class ChanLayerNorm(nn.Module):
+    """Bias-free channel LayerNorm (reference denoising_diffusion.py:116-125)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        g = self.param("g", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * g
+        return out.astype(self.dtype)
+
+
+class Block(nn.Module):
+    """WSConv -> GroupNorm -> (scale, shift) -> SiLU (reference :172-188)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None):
+        x = WSConv(self.dim_out, (3, 3), dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
+        if scale_shift is not None:
+            s, b = scale_shift
+            x = x * (s + 1.0) + b
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two blocks + time scale/shift + 1x1 residual (reference :190-214)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
+        scale_shift = None
+        if time_emb is not None:
+            t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
+            t = t[:, None, None, :]
+            scale_shift = jnp.split(t, 2, axis=-1)
+        h = Block(self.dim_out, dtype=self.dtype)(x, scale_shift)
+        h = Block(self.dim_out, dtype=self.dtype)(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+        return h + x
+
+
+class LinearAttention(nn.Module):
+    """O(N) kernel-feature attention (reference :216-244)."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
+        q = q * (self.dim_head ** -0.5)
+        v = v / (H * W)
+
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)  # sum over space
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(B, H, W, hidden)
+        out = nn.Conv(C, (1, 1), dtype=self.dtype)(out)
+        return ChanLayerNorm(dtype=self.dtype)(out)
+
+
+class Attention(nn.Module):
+    """Quadratic attention at the bottleneck (reference :246-268)."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q * (self.dim_head ** -0.5)
+        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(B, H, W, hidden)
+        return nn.Conv(C, (1, 1), dtype=self.dtype)(out)
+
+
+class PreNormResidual(nn.Module):
+    inner: nn.Module
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return self.inner(ChanLayerNorm(dtype=self.dtype)(x)) + x
+
+
+def sinusoidal_pos_emb(t: Array, dim: int) -> Array:
+    """Reference denoising_diffusion.py:139-151."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class RandomOrLearnedSinusoidalPosEmb(nn.Module):
+    """Reference denoising_diffusion.py:153-168."""
+
+    dim: int
+    is_random: bool = False
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        half = self.dim // 2
+        w = self.param("weights", nn.initializers.normal(1.0), (half,), jnp.float32)
+        if self.is_random:
+            w = jax.lax.stop_gradient(w)
+        freqs = t.astype(jnp.float32)[:, None] * w[None, :] * 2 * math.pi
+        return jnp.concatenate(
+            [t.astype(jnp.float32)[:, None], jnp.sin(freqs), jnp.cos(freqs)], axis=-1
+        )
+
+
+class Downsample(nn.Module):
+    """Pixel-unshuffle + 1x1 conv (reference :95-99)."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-upsample + 3x3 conv (reference :89-93)."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
+
+
+class Unet(nn.Module):
+    """The reference Unet (denoising_diffusion.py:272-417), NHWC.
+
+    Args mirror the reference constructor; ``channels`` counts the full input
+    (x plus any concatenated external conditioning).
+    """
+
+    dim: int
+    init_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    channels: int = 3
+    self_condition: bool = False
+    resnet_block_groups: int = 8
+    learned_variance: bool = False
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
+    time_in: bool = True
+    zero_init_final: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        external_cond: Optional[Array] = None,
+        time: Optional[Array] = None,
+        x_self_cond: Optional[Array] = None,
+    ) -> Array:
+        if external_cond is not None:
+            x = jnp.concatenate([x, external_cond], axis=-1)
+        if self.self_condition:
+            if x_self_cond is None:
+                x_self_cond = jnp.zeros_like(x)
+            x = jnp.concatenate([x_self_cond, x], axis=-1)
+
+        init_dim = self.init_dim or self.dim
+        x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype)(
+            x.astype(self.dtype)
+        )
+        r = x
+
+        if self.time_in:
+            if time is None:
+                raise ValueError("when Unet takes time arg, time must be passed in")
+            time_dim = self.dim * 4
+            if self.learned_sinusoidal_cond or self.random_fourier_features:
+                emb = RandomOrLearnedSinusoidalPosEmb(
+                    self.learned_sinusoidal_dim, self.random_fourier_features
+                )(time)
+            else:
+                emb = sinusoidal_pos_emb(time, self.dim)
+            t = nn.Dense(time_dim, dtype=self.dtype)(emb.astype(self.dtype))
+            t = nn.Dense(time_dim, dtype=self.dtype)(nn.gelu(t))
+        else:
+            if time is not None:
+                raise ValueError("this Unet does not take time arg")
+            t = None
+
+        dims = [init_dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+
+        hs = []
+        for ind, (dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= num_res - 1
+            x = ResnetBlock(dim_in, self.resnet_block_groups, self.dtype)(x, t)
+            hs.append(x)
+            x = ResnetBlock(dim_in, self.resnet_block_groups, self.dtype)(x, t)
+            x = PreNormResidual(LinearAttention(dtype=self.dtype), dtype=self.dtype)(x)
+            hs.append(x)
+            if not is_last:
+                x = Downsample(dim_out, dtype=self.dtype)(x)
+            else:
+                x = nn.Conv(dim_out, (3, 3), dtype=self.dtype)(x)
+
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, self.resnet_block_groups, self.dtype)(x, t)
+        x = PreNormResidual(Attention(dtype=self.dtype), dtype=self.dtype)(x)
+        x = ResnetBlock(mid_dim, self.resnet_block_groups, self.dtype)(x, t)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = ind == len(in_out) - 1
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_out, self.resnet_block_groups, self.dtype)(x, t)
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_out, self.resnet_block_groups, self.dtype)(x, t)
+            x = PreNormResidual(LinearAttention(dtype=self.dtype), dtype=self.dtype)(x)
+            if not is_last:
+                x = Upsample(dim_in, dtype=self.dtype)(x)
+            else:
+                x = nn.Conv(dim_in, (3, 3), dtype=self.dtype)(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(self.dim, self.resnet_block_groups, self.dtype)(x, t)
+
+        out_dim = self.out_dim or (self.channels * (2 if self.learned_variance else 1))
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init_final else nn.initializers.lecun_normal()
+        )
+        x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, kernel_init=kernel_init)(x)
+        return x.astype(jnp.float32)
+
+
+__all__ = [
+    "Unet", "WSConv", "Block", "ResnetBlock", "LinearAttention", "Attention",
+    "ChanLayerNorm", "PreNormResidual", "Downsample", "Upsample",
+    "sinusoidal_pos_emb", "RandomOrLearnedSinusoidalPosEmb",
+]

@@ -1,0 +1,22 @@
+"""Test harness: force an 8-virtual-device CPU platform before jax imports.
+
+This is the JAX-native way to exercise pjit/shard_map "multi-chip" code paths
+without TPU hardware (SURVEY.md §4 rebuild plan item (c)).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
