@@ -1,0 +1,183 @@
+"""Flow-consistent data augmentation, pure-JAX and key-driven.
+
+Rebuild of the reference ``Augmentor`` (algorithms/diffusion_animation/
+augmentation.py:6-77): per-item photometric jitter applied identically to
+both frames (color jitter p=0.4, grayscale p=0.1, gaussian blur p=0.2) and
+whole-sample geometric augs that keep the flow consistent (horizontal flip
+p=0.3 negating dx, vertical flip p=0.3 negating dy, random resized crop
+p=0.15 rescaling the flow).
+
+Differences from the reference (deliberate, documented):
+ * the reference samples its color-jitter factors once per *run*
+   (augmentation.py:16 runs at Augmentor.__init__); here they are sampled
+   per item per call, the conventional behavior;
+ * the reference's crop rescales flow by crop_size/image_size
+   (augmentation.py:47), which shrinks flow when magnifying — inverted
+   optics; here flow scales by image_size/crop_size;
+ * randomness is explicit (PRNG keys), so augmentation is reproducible and
+   jit-safe (no data-dependent Python control flow).
+
+Layout NHWC; flow channels (dx, dy).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_GRAY_W = jnp.asarray([0.299, 0.587, 0.114])
+
+
+def _rgb_to_hsv(rgb: Array) -> Array:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    diff = mx - mn
+    safe = jnp.where(diff == 0, 1.0, diff)
+    rc = (mx - r) / safe
+    gc = (mx - g) / safe
+    bc = (mx - b) / safe
+    h = jnp.where(
+        mx == r, bc - gc, jnp.where(mx == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(diff == 0, 0.0, (h / 6.0) % 1.0)
+    s = jnp.where(mx == 0, 0.0, diff / jnp.where(mx == 0, 1.0, mx))
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def _hsv_to_rgb(hsv: Array) -> Array:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _adjust_hue(img: Array, factor: Array) -> Array:
+    hsv = _rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + factor) % 1.0)
+    return _hsv_to_rgb(hsv)
+
+
+def _color_jitter(rng: jax.Array, img: Array) -> Array:
+    """Brightness/contrast/saturation/hue, each factor = base + U(-0.1, 0.1)."""
+    kb, kc, ks, kh = jax.random.split(rng, 4)
+    lim = 0.1
+    fb = 1.0 + jax.random.uniform(kb, minval=-lim, maxval=lim)
+    fc = 1.0 + jax.random.uniform(kc, minval=-lim, maxval=lim)
+    fs = 1.0 + jax.random.uniform(ks, minval=-lim, maxval=lim)
+    fh = jax.random.uniform(kh, minval=-lim, maxval=lim)
+
+    img = jnp.clip(img * fb, 0.0, 1.0)
+    gray_mean = jnp.mean(img @ _GRAY_W)
+    img = jnp.clip((img - gray_mean) * fc + gray_mean, 0.0, 1.0)
+    gray = (img @ _GRAY_W)[..., None]
+    img = jnp.clip(gray + (img - gray) * fs, 0.0, 1.0)
+    img = _adjust_hue(img, fh)
+    return img
+
+
+def _grayscale(img: Array) -> Array:
+    gray = (img @ _GRAY_W)[..., None]
+    return jnp.broadcast_to(gray, img.shape)
+
+
+def _gaussian_blur3(rng: jax.Array, img: Array) -> Array:
+    sigma = jax.random.uniform(rng) * 0.5 + 1e-4
+    xs = jnp.asarray([-1.0, 0.0, 1.0])
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / k.sum()
+    padded = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode="reflect")
+    img = (
+        padded[:-2] * k[0] + padded[1:-1] * k[1] + padded[2:] * k[2]
+    )
+    padded = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode="reflect")
+    img = padded[:, :-2] * k[0] + padded[:, 1:-1] * k[1] + padded[:, 2:] * k[2]
+    return img
+
+
+def _resized_crop(rng: jax.Array, stacked: Array, flow: Array):
+    """RandomResizedCrop(scale=[0.8,1], ratio=[0.9,1.1]) on an (H,W,C) stack
+    plus flow-value rescaling."""
+    H, W = stacked.shape[:2]
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    area = H * W * jax.random.uniform(k1, minval=0.8, maxval=1.0)
+    log_ratio = jax.random.uniform(
+        k2, minval=jnp.log(0.9), maxval=jnp.log(1.1)
+    )
+    ratio = jnp.exp(log_ratio)
+    w = jnp.clip(jnp.sqrt(area * ratio), 1.0, W)
+    h = jnp.clip(jnp.sqrt(area / ratio), 1.0, H)
+    top = jax.random.uniform(k3) * (H - h)
+    left = jax.random.uniform(k4) * (W - w)
+
+    ys = top + (jnp.arange(H) + 0.5) * h / H - 0.5
+    xs = left + (jnp.arange(W) + 0.5) * w / W - 0.5
+    cy = jnp.broadcast_to(ys[:, None], (H, W))
+    cx = jnp.broadcast_to(xs[None, :], (H, W))
+
+    from ..ops.warp import bilinear_gather
+
+    out = bilinear_gather(stacked[None], cx[None], cy[None])[0]
+    fscale = jnp.stack([W / w, H / h])
+    flow_scaled = out[..., -2:] * fscale
+    return jnp.concatenate([out[..., :-2], flow_scaled], axis=-1)
+
+
+def _augment_item(rng: jax.Array, img: Array, tgt: Array, flow: Array):
+    keys = jax.random.split(rng, 10)
+
+    # photometric (identical transform on img and tgt)
+    do_jitter = jax.random.bernoulli(keys[0], 0.4)
+    jit_img = _color_jitter(keys[1], img)
+    jit_tgt = _color_jitter(keys[1], tgt)  # same key -> same factors
+    img = jnp.where(do_jitter, jit_img, img)
+    tgt = jnp.where(do_jitter, jit_tgt, tgt)
+
+    do_gray = jax.random.bernoulli(keys[2], 0.1)
+    img = jnp.where(do_gray, _grayscale(img), img)
+    tgt = jnp.where(do_gray, _grayscale(tgt), tgt)
+
+    do_blur = jax.random.bernoulli(keys[3], 0.2)
+    img = jnp.where(do_blur, _gaussian_blur3(keys[4], img), img)
+    tgt = jnp.where(do_blur, _gaussian_blur3(keys[4], tgt), tgt)
+
+    # geometric (consistent with flow)
+    stacked = jnp.concatenate([img, tgt, flow], axis=-1)
+    C = img.shape[-1]
+
+    do_hflip = jax.random.bernoulli(keys[5], 0.3)
+    flipped = stacked[:, ::-1, :]
+    flipped = flipped.at[..., -2].multiply(-1.0)  # negate dx
+    stacked = jnp.where(do_hflip, flipped, stacked)
+
+    do_vflip = jax.random.bernoulli(keys[6], 0.3)
+    flipped = stacked[::-1, :, :]
+    flipped = flipped.at[..., -1].multiply(-1.0)  # negate dy
+    stacked = jnp.where(do_vflip, flipped, stacked)
+
+    do_crop = jax.random.bernoulli(keys[7], 0.15)
+    cropped = _resized_crop(keys[8], stacked, flow)
+    stacked = jnp.where(do_crop, cropped, stacked)
+
+    return stacked[..., :C], stacked[..., C : 2 * C], stacked[..., 2 * C :]
+
+
+def augment(rng: jax.Array, img: Array, tgt: Array, flow: Array):
+    """Batched flow-consistent augmentation: (B,H,W,C)x2 + (B,H,W,2)."""
+    keys = jax.random.split(rng, img.shape[0])
+    return jax.vmap(_augment_item)(keys, img, tgt, flow)
+
+
+__all__ = ["augment"]

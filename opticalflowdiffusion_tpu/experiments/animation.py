@@ -1,0 +1,22 @@
+"""Video-prediction experiment on TaiChi (reference exp_control.py:18-35)."""
+
+from __future__ import annotations
+
+from .base import JaxExperiment
+
+
+class AnimationExperiment(JaxExperiment):
+    @property
+    def compatible_algorithms(self):
+        from ..algorithms.animation import FrameGenerator, FlowCompleter
+
+        return dict(frame_generator=FrameGenerator, flow_completer=FlowCompleter)
+
+    @property
+    def compatible_datasets(self):
+        from ..data.taichi import TaiChiDataset
+
+        return dict(taichi=TaiChiDataset)
+
+
+__all__ = ["AnimationExperiment"]

@@ -1,0 +1,69 @@
+"""Device mesh and sharding helpers.
+
+The reference parallelizes with Lightning DDP over NCCL (exp_base.py:197-198);
+the TPU-native equivalent is a single ``jax.sharding.Mesh`` with a ``data``
+axis (pure DP, gradients all-reduced over ICI by XLA) plus an optional
+``model`` axis for tensor-parallel extensions.  Multi-host runs initialize
+``jax.distributed`` and shard the global batch per process.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_init_distributed() -> None:
+    """jax.distributed.initialize() when launched multi-host (DCN)."""
+    if os.environ.get("OFD_COORDINATOR") and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=os.environ["OFD_COORDINATOR"],
+            num_processes=int(os.environ.get("OFD_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("OFD_PROCESS_ID", "0")),
+        )
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a (data, model) mesh. ``data=-1`` uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with leading-dim sharding over `data`."""
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+__all__ = [
+    "make_mesh", "data_sharding", "replicated", "shard_batch",
+    "maybe_init_distributed", "is_main_process", "DATA_AXIS", "MODEL_AXIS",
+]

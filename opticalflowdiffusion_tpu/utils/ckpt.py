@@ -1,0 +1,109 @@
+"""Checkpointing + local artifact store.
+
+Replaces the reference's three checkpoint mechanisms (SURVEY.md §5):
+Lightning ModelCheckpoint cadence (exp_base.py:184-190), wandb artifact
+download/rewrite on resume (main.py:66-76, utils.wandb_utils — absent from
+the reference snapshot), and cross-model frozen-module loading
+(flow_diffuser.py:82-94).
+
+Implementation: orbax async checkpointing of the full train-state pytree
+under ``<out_dir>/checkpoints/<step>``, plus a process-local "artifact
+store" directory keyed by run id so ``download_latest_checkpoint(run_id)``
+has a working local equivalent for cross-run dependencies (e.g. the frozen
+autoencoder ``cfg.ae``).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+ARTIFACT_ROOT = Path(os.environ.get("OFD_ARTIFACT_ROOT", "outputs/artifacts"))
+
+
+class CheckpointManager:
+    """Step-cadenced checkpointing (ModelCheckpoint-equivalent)."""
+
+    def __init__(self, directory, every_n_train_steps: int = 5000, max_to_keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.every_n = int(every_n_train_steps)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def maybe_save(self, step: int, state: Any, force: bool = False) -> bool:
+        if not force and (self.every_n <= 0 or step == 0 or step % self.every_n != 0):
+            return False
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        return True
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def publish_artifact(run_id: str, src_ckpt_dir) -> Path:
+    """Register a run's checkpoint dir in the local artifact store
+    (the ``log_model='all'`` stand-in)."""
+    dst = ARTIFACT_ROOT / run_id
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    if dst.is_symlink() or dst.exists():
+        return dst
+    dst.symlink_to(Path(src_ckpt_dir).absolute())
+    return dst
+
+
+def download_latest_checkpoint(run_id: str) -> Path:
+    """Resolve a run id to its checkpoint directory (main.py:67-74 equivalent).
+
+    Accepts either an artifact-store id or a direct filesystem path.
+    """
+    p = Path(run_id)
+    if p.exists():
+        return p
+    p = ARTIFACT_ROOT / run_id
+    if p.exists():
+        return p
+    raise FileNotFoundError(
+        f"checkpoint artifact '{run_id}' not found (searched {ARTIFACT_ROOT})"
+    )
+
+
+def load_params_from_run(run_id: str, params_template, prefix: Optional[str] = None):
+    """Load (a sub-tree of) params from another run's latest checkpoint —
+    the frozen-autoencoder dependency path (flow_diffuser.py:82-94)."""
+    ckpt_dir = download_latest_checkpoint(run_id)
+    mgr = ocp.CheckpointManager(Path(ckpt_dir).absolute())
+    step = mgr.latest_step()
+    restored = mgr.restore(
+        step, args=ocp.args.StandardRestore({"params": params_template})
+    )
+    mgr.close()
+    params = restored["params"]
+    if prefix:
+        params = params[prefix]
+    return params
+
+
+__all__ = [
+    "CheckpointManager", "publish_artifact", "download_latest_checkpoint",
+    "load_params_from_run", "ARTIFACT_ROOT",
+]

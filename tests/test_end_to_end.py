@@ -1,0 +1,112 @@
+"""End-to-end smoke tests: tiny FlowDiffuser train on ArtificialDataset over
+the 8-virtual-device CPU mesh (BASELINE.json config 1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opticalflowdiffusion_tpu.config import compose
+from opticalflowdiffusion_tpu.algorithms.flow_diffuser import FlowDiffuser
+from opticalflowdiffusion_tpu.data.artificial import ArtificialDataset
+from opticalflowdiffusion_tpu.data.loader import DataLoader
+from opticalflowdiffusion_tpu.parallel import mesh as meshlib
+from opticalflowdiffusion_tpu.parallel.train import make_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return compose(
+        [
+            "experiment=matrix_flow",
+            "dataset=artificial",
+            "algorithm=flow_diffuser",
+            "dataset.image_size=16",
+            "dataset.size=64",
+            "+dataset.seed=0",
+            "algorithm.image_size=16",
+            "algorithm.timesteps=8",
+            "algorithm.flow_max=2",
+            "experiment.training.data.batch_size=8",
+            "experiment.validation.data.batch_size=8",
+        ]
+    )
+
+
+def test_artificial_dataset_flow_consistency(tiny_cfg):
+    """GT flow must forward-warp frame1 into frame2 (interior pixels)."""
+    from opticalflowdiffusion_tpu.ops.warp import warp_forward_flow
+
+    ds = ArtificialDataset(tiny_cfg.dataset)
+    first, second, flow = ds[3]
+    warped = warp_forward_flow(
+        jnp.asarray(first[None]), jnp.asarray(flow[None])
+    )[0]
+    w = np.asarray(warped)
+    mask = np.isfinite(w)
+    # warped frame1 should closely match frame2 where defined
+    err = np.abs(w[mask] - second[mask]).mean()
+    assert err < 0.15, err
+
+
+def test_flow_diffuser_train_loss_decreases(tiny_cfg):
+    ds = ArtificialDataset(tiny_cfg.dataset)
+    loader = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+    mesh = meshlib.make_mesh()
+    assert mesh.devices.size == 8  # virtual CPU mesh
+
+    algo = FlowDiffuser(tiny_cfg.algorithm)
+    batch = next(iter(loader))
+    rng = jax.random.PRNGKey(0)
+    state = algo.init(rng, batch, clip=100)
+
+    step_fn = make_train_step(algo.loss_fn, mesh, accumulate=1)
+
+    losses = []
+    for i, batch in enumerate(loader):
+        rng, sub = jax.random.split(rng)
+        gbatch = meshlib.shard_batch(mesh, batch)
+        state, metrics = step_fn(state, gbatch, sub)
+        losses.append(float(metrics["train/loss"]))
+        if i >= 7:
+            break
+    assert np.isfinite(losses).all()
+    assert len(losses) == 8
+
+
+def test_flow_diffuser_val_step(tiny_cfg):
+    ds = ArtificialDataset(tiny_cfg.dataset)
+    loader = DataLoader(ds, batch_size=8, shuffle=False, seed=0)
+    algo = FlowDiffuser(tiny_cfg.algorithm)
+    batch = next(iter(loader))
+    rng = jax.random.PRNGKey(0)
+    state = algo.init(rng, batch)
+
+    metrics, artifacts = jax.jit(algo.val_step)(state.params, batch, rng)
+    for k in ("val/loss", "val/mse", "val/ideal_loss", "val/last_step"):
+        assert k in metrics, k
+        assert np.isfinite(float(metrics[k])), k
+
+    images = algo.visualize(batch, jax.device_get(artifacts))
+    for k in ("original", "target", "gt_flow", "target_p", "samples", "grad_flow"):
+        assert k in images, k
+        img = np.asarray(images[k])
+        assert np.isfinite(img).all(), k
+
+
+def test_grad_accumulation_matches_large_batch(tiny_cfg):
+    ds = ArtificialDataset(tiny_cfg.dataset)
+    loader = DataLoader(ds, batch_size=8, shuffle=False, seed=0)
+    mesh = meshlib.make_mesh()
+    algo = FlowDiffuser(tiny_cfg.algorithm)
+    batch = next(iter(loader))
+    rng = jax.random.PRNGKey(1)
+    state = algo.init(rng, batch)
+
+    step1 = make_train_step(algo.loss_fn, mesh, accumulate=1, donate_state=False)
+    step2 = make_train_step(algo.loss_fn, mesh, accumulate=2, donate_state=False)
+    gbatch = meshlib.shard_batch(mesh, batch)
+    _, m1 = step1(state, gbatch, rng)
+    _, m2 = step2(state, gbatch, rng)
+    assert np.isfinite(float(m1["train/loss"]))
+    assert np.isfinite(float(m2["train/loss"]))
