@@ -175,23 +175,23 @@ class FlowDiffuser(Algorithm):
             if self.cfg.get("ae"):
                 from ..utils.ckpt import load_params_from_run
 
-                tmpl = self.ae.init(
+                tmpl = jax.jit(self.ae.init)(
                     ae_rng, jnp.zeros_like(img), jnp.zeros_like(flow)
                 )["params"]
                 self.ae_params = load_params_from_run(
                     self.cfg.ae, {"ae": tmpl}, prefix="ae"
                 )
             else:
-                self.ae_params = self.ae.init(
+                self.ae_params = jax.jit(self.ae.init)(
                     ae_rng, jnp.zeros_like(img), jnp.zeros_like(flow)
                 )["params"]
 
         tgt_x, cond, flow_n = self.preprocess(rng, batch, aug=False)
         t = jnp.zeros((B,), jnp.int32) if self.is_diffusion else None
         if self._plain_unet:
-            variables = self.module.init(rng, tgt_x, cond, t)
+            variables = jax.jit(self.module.init)(rng, tgt_x, cond, t)
         else:
-            variables = self.module.init(rng, tgt_x, cond, t, None)
+            variables = jax.jit(self.module.init)(rng, tgt_x, cond, t, None)
         tx = self.make_optimizer(clip)
         return TrainState.create(variables["params"], tx)
 

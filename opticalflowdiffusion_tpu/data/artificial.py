@@ -55,6 +55,18 @@ class ArtificialDataset:
 
     def __getitem__(self, index: int):
         S = self.image_size
+        # native C++ fast path (identical semantics; see native/ofd_native.cpp)
+        from . import native
+
+        if native.available():
+            y0, x0 = self.initial[index]
+            hh, ww = self.wh[index]
+            fy, fx = self.flows[index]
+            checkers = int(self.cfg.get("bg", "white") == "checkers")
+            out = native.artificial_sample(S, y0, x0, hh, ww, fy, fx, checkers)
+            if out is not None:
+                return out
+
         bg = self._background()
         y0, x0 = self.initial[index]          # reference dim0 = rows
         hh, ww = self.wh[index]

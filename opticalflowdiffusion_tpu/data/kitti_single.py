@@ -1,0 +1,65 @@
+"""KITTI-2015 flow pairs with inpaint-densified sparse GT
+(reference kitti_single.py:16-56).
+
+Reads ``training/image_2/%06d_10.png`` / ``_11.png`` + ``flow_occ`` 16-bit
+PNGs; the sparse GT flow is densified with cv2.inpaint against the validity
+mask (kitti_single.py:38-40), then resized with flow rescaled to resized
+pixel units.  Emits (img1, img2, flow) float32 NHWC, flow (dx, dy).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .flow_io import read_kitti_png
+from .sintel import _data_root
+from ..config import Config
+
+
+class KittiSingleDataset:
+    def __init__(self, cfg: Config, split: str = "training", device=None):
+        self.cfg = cfg
+        self.imsz = [int(x) for x in str(cfg.image_size).split(",")]
+        split = "train" if split == "training" else "val"
+        base = _data_root(cfg, "KITTI") / split / "training"
+        img_dir = base / "image_2"
+        flow_dir = base / "flow_occ"
+        if not flow_dir.exists():
+            raise FileNotFoundError(
+                f"No KITTI data under {base}; set dataset.root or OFD_DATA_ROOT"
+            )
+        self.records = []
+        for f in sorted(flow_dir.glob("*_10.png")):
+            i1 = img_dir / f.name
+            i2 = img_dir / f.name.replace("_10", "_11")
+            if i1.exists() and i2.exists():
+                self.records.append((i1, i2, f))
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, idx: int):
+        import cv2
+
+        p1, p2, pf = self.records[idx]
+        img1 = cv2.cvtColor(cv2.imread(str(p1)), cv2.COLOR_BGR2RGB)
+        img2 = cv2.cvtColor(cv2.imread(str(p2)), cv2.COLOR_BGR2RGB)
+        flow, valid = read_kitti_png(pf)
+
+        invalid = np.logical_not(valid).astype(np.uint8)
+        dense = np.zeros_like(flow)
+        for c in range(2):
+            dense[..., c] = cv2.inpaint(flow[..., c], invalid, 20.0, cv2.INPAINT_NS)
+
+        h0, w0 = img1.shape[:2]
+        W, H = self.imsz[0], self.imsz[-1]
+        img1 = cv2.resize(img1, (W, H)).astype(np.float32) / 255.0
+        img2 = cv2.resize(img2, (W, H)).astype(np.float32) / 255.0
+        dense = cv2.resize(dense, (W, H), interpolation=cv2.INTER_NEAREST)
+        dense = dense * np.asarray([W / w0, H / h0], np.float32)
+        return img1, img2, dense.astype(np.float32)
+
+
+__all__ = ["KittiSingleDataset"]

@@ -42,7 +42,12 @@ class Autoencoder(nn.Module):
 
     def __call__(self, x: Array, flow: Array, return_latent: bool = False) -> Array:
         latent = self.encode(x)
-        warped = warp_forward_flow(latent, flow)
+        # set_nans=False: the reference's default warp (flow_pred.py:41) marks
+        # unsupported pixels NaN, which would poison the decoder and the MSE
+        # loss whenever the (noised) flow leaves holes; zero-filled holes are
+        # equivalent information (the decoder is conditioned on the original
+        # frame and learns to inpaint) without NaN propagation.
+        warped = warp_forward_flow(latent, flow, set_nans=False)
         if return_latent:
             return warped
         return self.decode(warped, x)

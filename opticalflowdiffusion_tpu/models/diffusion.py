@@ -31,6 +31,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.warp import nan_mse_stats
 
@@ -42,33 +43,37 @@ ModelFn = Callable[..., Array]
 # Beta schedules (reference :427-461)
 # ---------------------------------------------------------------------------
 
-def linear_beta_schedule(timesteps: int) -> jnp.ndarray:
+def linear_beta_schedule(timesteps: int) -> np.ndarray:
+    # schedule tables computed host-side in float64 like the reference
+    # (denoising_diffusion.py:427-434) then cast to fp32 device buffers
     scale = 1000.0 / timesteps
-    return jnp.linspace(
-        scale * 1e-4, scale * 0.02, timesteps, dtype=jnp.float64
-    )
+    return np.linspace(scale * 1e-4, scale * 0.02, timesteps, dtype=np.float64)
 
 
-def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> jnp.ndarray:
+def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
     steps = timesteps + 1
-    t = jnp.linspace(0, timesteps, steps, dtype=jnp.float64) / timesteps
-    ac = jnp.cos((t + s) / (1 + s) * math.pi * 0.5) ** 2
+    t = np.linspace(0, timesteps, steps, dtype=np.float64) / timesteps
+    ac = np.cos((t + s) / (1 + s) * math.pi * 0.5) ** 2
     ac = ac / ac[0]
     betas = 1 - (ac[1:] / ac[:-1])
-    return jnp.clip(betas, 0, 0.999)
+    return np.clip(betas, 0, 0.999)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
 
 
 def sigmoid_beta_schedule(
     timesteps: int, start: float = -3, end: float = 3, tau: float = 1
-) -> jnp.ndarray:
+) -> np.ndarray:
     steps = timesteps + 1
-    t = jnp.linspace(0, timesteps, steps, dtype=jnp.float64) / timesteps
-    v_start = jax.nn.sigmoid(jnp.asarray(start / tau, jnp.float64))
-    v_end = jax.nn.sigmoid(jnp.asarray(end / tau, jnp.float64))
-    ac = (-jax.nn.sigmoid((t * (end - start) + start) / tau) + v_end) / (v_end - v_start)
+    t = np.linspace(0, timesteps, steps, dtype=np.float64) / timesteps
+    v_start = _sigmoid(start / tau)
+    v_end = _sigmoid(end / tau)
+    ac = (-_sigmoid((t * (end - start) + start) / tau) + v_end) / (v_end - v_start)
     ac = ac / ac[0]
     betas = 1 - (ac[1:] / ac[:-1])
-    return jnp.clip(betas, 0, 0.999)
+    return np.clip(betas, 0, 0.999)
 
 
 _SCHEDULES = {
@@ -127,13 +132,13 @@ def make_schedule(
         )
     betas = _SCHEDULES[beta_schedule](timesteps)
     alphas = 1.0 - betas
-    ac = jnp.cumprod(alphas)
-    ac_prev = jnp.concatenate([jnp.ones((1,), ac.dtype), ac[:-1]])
+    ac = np.cumprod(alphas)
+    ac_prev = np.concatenate([np.ones((1,), ac.dtype), ac[:-1]])
 
     post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
 
     snr = ac / (1 - ac)
-    clipped_snr = jnp.minimum(snr, min_snr_gamma) if min_snr_loss_weight else snr
+    clipped_snr = np.minimum(snr, min_snr_gamma) if min_snr_loss_weight else snr
     if objective == "pred_noise":
         loss_weight = clipped_snr / snr
     elif objective == "pred_x0":
@@ -141,20 +146,20 @@ def make_schedule(
     else:
         loss_weight = clipped_snr / (snr + 1)
 
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    f32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
     return Schedule(
         betas=f32(betas),
         alphas_cumprod=f32(ac),
         alphas_cumprod_prev=f32(ac_prev),
-        sqrt_alphas_cumprod=f32(jnp.sqrt(ac)),
-        sqrt_one_minus_alphas_cumprod=f32(jnp.sqrt(1.0 - ac)),
-        log_one_minus_alphas_cumprod=f32(jnp.log(1.0 - ac)),
-        sqrt_recip_alphas_cumprod=f32(jnp.sqrt(1.0 / ac)),
-        sqrt_recipm1_alphas_cumprod=f32(jnp.sqrt(1.0 / ac - 1)),
+        sqrt_alphas_cumprod=f32(np.sqrt(ac)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - ac)),
+        log_one_minus_alphas_cumprod=f32(np.log(1.0 - ac)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / ac)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / ac - 1)),
         posterior_variance=f32(post_var),
-        posterior_log_variance_clipped=f32(jnp.log(jnp.clip(post_var, 1e-20))),
-        posterior_mean_coef1=f32(betas * jnp.sqrt(ac_prev) / (1.0 - ac)),
-        posterior_mean_coef2=f32((1.0 - ac_prev) * jnp.sqrt(alphas) / (1.0 - ac)),
+        posterior_log_variance_clipped=f32(np.log(np.clip(post_var, 1e-20, None))),
+        posterior_mean_coef1=f32(betas * np.sqrt(ac_prev) / (1.0 - ac)),
+        posterior_mean_coef2=f32((1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac)),
         loss_weight=f32(loss_weight),
         num_timesteps=int(timesteps),
         sampling_timesteps=int(sampling_timesteps or timesteps),

@@ -51,13 +51,13 @@ Array = jax.Array
 MODES = ("sum", "avg", "linear", "soft", "linear_unn")
 
 
-def _stretch_const(offset: int, size: int, scale: int) -> int:
-    """Edge-stretch multiplier: ``(abs(offset - size % scale)) % scale``.
-
-    Static python arithmetic (scale/offset/size are trace-time constants),
-    mirroring softsplat_new.py:375.
-    """
-    return (abs(offset - (size % scale))) % scale
+def _stretch_const(offset, size: int, scale: int):
+    """Edge-stretch multiplier: ``(abs(offset - size % scale)) % scale``
+    (softsplat_new.py:375).  ``offset`` may be a python int or a traced
+    scalar (the fused pyramid loss maps over offsets)."""
+    if isinstance(offset, (int, float)):
+        return (abs(int(offset) - (size % scale))) % scale
+    return jnp.mod(jnp.abs(offset - (size % scale)), scale)
 
 
 def _fwd_transform(f: Array, size: int, scale: int, offset: int) -> Array:
@@ -152,17 +152,24 @@ def _corners(fx: Array, fy: Array):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _splat_core(inp: Array, flow: Array, scale: int, offset_x, offset_y) -> Array:
+    return _splat_fwd_impl(inp, flow, scale, offset_x, offset_y)
+
+
 def splat_raw(
-    inp: Array, flow: Array, scale: int = 1, offset_x: int = 0, offset_y: int = 0
+    inp: Array, flow: Array, scale: int = 1, offset_x=0, offset_y=0
 ) -> Array:
     """Raw bilinear scatter splat: NHWC ``inp`` by ``flow`` into H//scale x W//scale.
 
     Equivalent of ``softsplat_func.apply`` (softsplat_new.py:339-455). Inputs
     are accumulated in float32 (matching the reference amp fp32 cast,
-    softsplat_new.py:341).
+    softsplat_new.py:341).  ``scale`` is static; offsets may be traced scalars
+    (zero-cotangent under the custom VJP).
     """
-    return _splat_fwd_impl(inp, flow, scale, offset_x, offset_y)
+    ox = jnp.asarray(offset_x, jnp.float32)
+    oy = jnp.asarray(offset_y, jnp.float32)
+    return _splat_core(inp, flow, int(scale), ox, oy)
 
 
 def _splat_fwd_impl(inp, flow, scale, offset_x, offset_y):
@@ -200,11 +207,11 @@ def _splat_fwd_impl(inp, flow, scale, offset_x, offset_y):
 
 def _splat_fwd(inp, flow, scale, offset_x, offset_y):
     out = _splat_fwd_impl(inp, flow, scale, offset_x, offset_y)
-    return out, (inp, flow)
+    return out, (inp, flow, offset_x, offset_y)
 
 
-def _splat_bwd(scale, offset_x, offset_y, res, g):
-    inp, flow = res
+def _splat_bwd(scale, res, g):
+    inp, flow, offset_x, offset_y = res
     g = g.astype(jnp.float32)
     inp32 = inp.astype(jnp.float32)
     flow32 = flow.astype(jnp.float32)
@@ -261,7 +268,12 @@ def _splat_bwd(scale, offset_x, offset_y, res, g):
     d_flow = jnp.stack([d_flow_x, d_flow_y], axis=-1)
     d_flow = jnp.where(finite[..., None], d_flow, 0.0)
 
-    return d_inp.astype(inp.dtype), d_flow.astype(flow.dtype)
+    return (
+        d_inp.astype(inp.dtype),
+        d_flow.astype(flow.dtype),
+        jnp.zeros_like(offset_x),
+        jnp.zeros_like(offset_y),
+    )
 
 
 def _corner_meta(tx, ty):
@@ -276,7 +288,7 @@ def _corner_meta(tx, ty):
     )
 
 
-splat_raw.defvjp(_splat_fwd, _splat_bwd)
+_splat_core.defvjp(_splat_fwd, _splat_bwd)
 
 
 def softsplat(
@@ -318,7 +330,7 @@ def softsplat(
         m = jnp.exp(metric)
         inp = jnp.concatenate([inp * m, m], axis=-1)
 
-    out = splat_raw(inp, flow, int(scale), int(offset[0]), int(offset[1]))
+    out = splat_raw(inp, flow, int(scale), offset[0], offset[1])
 
     if base in ("avg", "linear", "soft"):
         norm = out[..., -1:]

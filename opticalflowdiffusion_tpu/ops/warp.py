@@ -99,7 +99,10 @@ def warp_forward_flow(
     weights = jnp.where(jnp.any(where_nan, axis=-1), 0.0, 1.0)[..., None]
     clean = jnp.where(where_nan, 0.0, first)
 
-    offset = [int(o) % int(scale) for o in offset]
+    offset = [
+        int(o) % int(scale) if isinstance(o, int) else jnp.mod(o, scale)
+        for o in offset
+    ]
     mode = "linear_unn" if warp_style == "sum" else "linear"
     ret = softsplat(clean, flow, weights.astype(clean.dtype), mode, scale, offset)
     img = ret[..., :-1]

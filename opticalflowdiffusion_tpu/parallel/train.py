@@ -135,6 +135,14 @@ def make_train_step(
 
         new_state = state.apply_gradients(grads)
         metrics = dict(metrics)
+        # loss_fn may surface updated mutable collections (e.g. BatchNorm
+        # running stats) under the reserved '__mutable__' key; fold them back
+        # into params instead of logging them.
+        mutable = metrics.pop("__mutable__", None)
+        if mutable is not None:
+            new_params = dict(new_state.params)
+            new_params.update(mutable)
+            new_state = new_state.replace(params=new_params)
         metrics["train/loss"] = loss
         if with_grad_stats:
             metrics.update(grad_norm_stats(grads, state.params))
