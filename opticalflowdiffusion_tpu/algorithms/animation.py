@@ -48,7 +48,7 @@ class FrameGenerator(Algorithm):
     def __init__(self, cfg: Config):
         super().__init__(cfg)
         self.image_size = int(cfg.image_size)
-        self.module = Unet(64, channels=3 + 3 + 2, out_dim=3)
+        self.module = Unet(64, channels=3 + 3 + 2, out_dim=3, dtype=self.dtype)
         self.sched = dm.make_schedule(timesteps=1000, objective="pred_noise")
 
     def _model_fn(self, params):

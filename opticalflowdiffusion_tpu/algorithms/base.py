@@ -19,6 +19,8 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 
+import jax.numpy as jnp
+
 from ..config import Config
 from ..parallel.train import TrainState, make_optimizer
 
@@ -30,6 +32,12 @@ class Algorithm:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        # compute dtype (params stay fp32): runtime.precision is injected by
+        # the experiment as cfg._precision ('bf16' on TPU by default)
+        self.dtype = (
+            jnp.bfloat16 if cfg.get("_precision", "float32") == "bf16"
+            else jnp.float32
+        )
 
     # -- construction -------------------------------------------------------
     def make_optimizer(self, clip: Optional[float] = None):

@@ -144,6 +144,7 @@ class FlowDiffuser(Algorithm):
             nan_safe=self.target in ("target", "joint"),
             zero_init=bool(cfg.get("zero_init", True)),
             time_in=self.is_diffusion,
+            dtype=self.dtype,
         )
         self._plain_unet = self.target not in ("target", "joint")
         if self._plain_unet:
@@ -151,6 +152,7 @@ class FlowDiffuser(Algorithm):
                 64, channels=unet_in, out_dim=2,
                 time_in=self.is_diffusion,
                 zero_init_final=bool(cfg.get("zero_init", True)),
+                dtype=self.dtype,
             )
 
         if self.is_diffusion:
@@ -161,7 +163,7 @@ class FlowDiffuser(Algorithm):
                 min_snr_loss_weight=True,
             )
 
-        self.ae = Autoencoder(latent_dim=int(cfg.get("latent_dim", 16))) if self.latent else None
+        self.ae = Autoencoder(latent_dim=int(cfg.get("latent_dim", 16)), dtype=self.dtype) if self.latent else None
         self.ae_params = None  # loaded/initialized in init()
         self.warp_fn = make_warp_fn(self.flow_max, self.dim)
 

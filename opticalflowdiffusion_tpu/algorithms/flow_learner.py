@@ -97,12 +97,12 @@ class FlowLearner(Algorithm):
                 raise ValueError("cannot specify both flow_max and radius")
             self.flow_max = self.radius // 2
             self.rep = "filter"
-            self.module = FilterUnet(self.radius, c2f=bool(cfg.get("c2f", False)))
+            self.module = FilterUnet(self.radius, c2f=bool(cfg.get("c2f", False)), dtype=self.dtype)
         else:
             self.radius = None
             self.flow_max = float(cfg.flow_max)
             self.rep = "flow"
-            self.module = FlowUnet(zero_init=bool(cfg.get("zero_init", True)))
+            self.module = FlowUnet(zero_init=bool(cfg.get("zero_init", True)), dtype=self.dtype)
         self.levels = tuple(cfg.get("levels", DEFAULT_LEVELS))
 
     def init(self, rng, batch, clip=None) -> TrainState:

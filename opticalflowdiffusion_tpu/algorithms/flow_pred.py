@@ -30,7 +30,7 @@ class FlowPred(Algorithm):
         super().__init__(cfg)
         imsz = [int(x) for x in str(cfg.image_size).split(",")]
         self.image_w, self.image_h = imsz[0], imsz[-1]
-        self.ae = Autoencoder(latent_dim=int(cfg.latent_dim))
+        self.ae = Autoencoder(latent_dim=int(cfg.latent_dim), dtype=self.dtype)
         self.ae_frac = float(cfg.get("ae_frac", 0.1))
 
     def init(self, rng, batch, clip=None) -> TrainState:

@@ -76,7 +76,7 @@ class MatrixFlow(Algorithm):
                 + 3 * ("cols" in self.has)
             )
             self.module = Unet(
-                64, channels=6, out_dim=out_dim, time_in=False
+                64, channels=6, out_dim=out_dim, time_in=False, dtype=self.dtype
             )
             self.arch = "unet"
         else:

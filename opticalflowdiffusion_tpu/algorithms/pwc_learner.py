@@ -32,7 +32,7 @@ class PWCLearner(Algorithm):
 
     def __init__(self, cfg: Config):
         super().__init__(cfg)
-        self.module = PWCNet()
+        self.module = PWCNet(dtype=self.dtype)
 
     def init(self, rng, batch, clip=None) -> TrainState:
         f1, f2, f3, _ = _three_frames(batch)

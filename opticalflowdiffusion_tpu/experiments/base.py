@@ -74,7 +74,11 @@ class JaxExperiment(BaseExperiment):
         self.out_dir = Path(cfg.get("output_dir", "outputs/run"))
 
     def _build_algorithm(self):
-        return self.compatible_algorithms[self.cfg.algorithm.name](self.cfg.algorithm)
+        algo_cfg = self.cfg.algorithm
+        rt = self.cfg.get("runtime", Config())
+        if "_precision" not in algo_cfg:
+            algo_cfg["_precision"] = rt.get("precision", "float32")
+        return self.compatible_algorithms[algo_cfg.name](algo_cfg)
 
     def _build_dataset(self, split: str):
         if split in ("training", "test", "validation"):
@@ -135,6 +139,9 @@ class JaxExperiment(BaseExperiment):
         elif ckpt_mgr.latest_step() is not None:
             state = ckpt_mgr.restore(state)
             start_step = int(state.step)
+        if start_step:
+            # restored arrays are committed to one device; replicate over the mesh
+            state = jax.device_put(state, meshlib.replicated(self.mesh))
         if cfg.get("wandb") and cfg.wandb.get("resume") is None and is_main:
             publish_artifact(self.out_dir.name, self.out_dir / "checkpoints")
 
