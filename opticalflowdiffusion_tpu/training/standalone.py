@@ -1,0 +1,184 @@
+"""Standalone diffusion trainer (reference denoising_diffusion.py:996-1241).
+
+The reference ships an Accelerate-based Trainer (image-folder dataset, EMA,
+gradient accumulation, milestone checkpoints, periodic sampling + FID) that
+is not reachable from main.py; rebuilt here TPU-native for unconditional
+image diffusion: optax step with lax.scan grad accumulation, EMA params,
+orbax milestone checkpoints, and the pluggable-feature FID of utils/fid.py.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import DataLoader
+from ..models import diffusion as dm
+from ..models.ema import EmaState, ema_update
+from ..models.unet import Unet
+from ..parallel import mesh as meshlib
+from ..parallel.train import TrainState, make_optimizer, make_train_step
+from ..utils import visualization as viz
+from ..utils.ckpt import CheckpointManager
+from ..utils.fid import fid_between
+
+EXTS = (".jpg", ".jpeg", ".png", ".tiff")
+
+
+class ImageFolderDataset:
+    """Flat image-folder dataset (reference Dataset, :998-1035)."""
+
+    def __init__(self, folder, image_size: int, augment_horizontal_flip: bool = True,
+                 seed: int = 0):
+        self.paths = sorted(
+            p for p in Path(folder).rglob("*") if p.suffix.lower() in EXTS
+        )
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {folder}")
+        self.image_size = image_size
+        self.flip = augment_horizontal_flip
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        img = Image.open(self.paths[idx]).convert("RGB")
+        img = img.resize((self.image_size, self.image_size))
+        arr = np.asarray(img, np.float32) / 255.0
+        if self.flip and self._rng.random() < 0.5:
+            arr = arr[:, ::-1].copy()
+        return (arr,)
+
+
+class Trainer:
+    """Unconditional diffusion training loop (reference Trainer, :1037-1241)."""
+
+    def __init__(
+        self,
+        sched: dm.Schedule,
+        model: Unet,
+        folder,
+        *,
+        train_batch_size: int = 16,
+        gradient_accumulate_every: int = 1,
+        train_lr: float = 1e-4,
+        train_num_steps: int = 100000,
+        ema_update_every: int = 10,
+        ema_decay: float = 0.995,
+        adam_betas=(0.9, 0.99),
+        save_and_sample_every: int = 1000,
+        num_samples: int = 25,
+        results_folder: str = "./results",
+        calculate_fid: bool = False,
+        fid_feature_fn: Optional[Callable] = None,
+        image_size: int = 32,
+        seed: int = 0,
+    ):
+        assert math.sqrt(num_samples) % 1 == 0, "num_samples must be a square"
+        self.sched = sched
+        self.model = model
+        self.image_size = image_size
+        self.num_samples = num_samples
+        self.save_every = save_and_sample_every
+        self.train_num_steps = train_num_steps
+        self.accum = gradient_accumulate_every
+        self.calculate_fid = calculate_fid
+        self.fid_feature_fn = fid_feature_fn
+        self.results = Path(results_folder)
+        self.results.mkdir(parents=True, exist_ok=True)
+
+        self.ds = ImageFolderDataset(folder, image_size)
+        self.loader = DataLoader(
+            self.ds, batch_size=train_batch_size * self.accum, shuffle=True, seed=seed
+        )
+        self.mesh = meshlib.make_mesh()
+        self.ema_decay = ema_decay
+        self.ema_every = ema_update_every
+
+        rng = jax.random.PRNGKey(seed)
+        x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        params = jax.jit(model.init)(rng, x, None, jnp.zeros((1,), jnp.int32))["params"]
+        import optax
+
+        tx = optax.adam(train_lr, b1=adam_betas[0], b2=adam_betas[1])
+        self.state = TrainState.create(params, tx)
+        self.ema = EmaState.create(params)
+        self.ckpt = CheckpointManager(self.results / "checkpoints", self.save_every)
+        self.rng = rng
+
+        def loss_fn(params, batch, rng):
+            (imgs,) = batch
+            imgs = 2.0 * imgs - 1.0  # auto_normalize
+            rng_t, rng_p = jax.random.split(rng)
+            t = jax.random.randint(rng_t, (imgs.shape[0],), 0, sched.num_timesteps)
+
+            def model_fn(x, cond, tt, sc=None):
+                return model.apply({"params": params}, x, None, tt)
+
+            loss = dm.p_losses(sched, model_fn, rng_p, imgs, t)
+            return loss, {}
+
+        self._step_fn = make_train_step(
+            loss_fn, self.mesh, accumulate=self.accum, donate_state=False
+        )
+
+    def _model_fn(self, params):
+        def fn(x, cond, t, sc=None):
+            return self.model.apply({"params": params}, x, None, t)
+
+        return fn
+
+    def sample(self, n: int, params=None, rng=None):
+        params = params if params is not None else self.ema.params
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        shape = (n, self.image_size, self.image_size, 3)
+        img, _ = dm.sample(self.sched, self._model_fn(params), rng, shape)
+        return (img + 1.0) * 0.5
+
+    def train(self):
+        step = int(self.state.step)
+        it = iter(self.loader)
+        while step < self.train_num_steps:
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(self.loader)
+                batch = next(it)
+            self.rng, sub = jax.random.split(self.rng)
+            gbatch = meshlib.shard_batch(self.mesh, batch)
+            self.state, metrics = self._step_fn(self.state, gbatch, sub)
+            self.ema = ema_update(
+                self.ema, self.state.params, self.ema_decay,
+                self.ema_every,
+            )
+            step += 1
+            if step % self.save_every == 0:
+                self.ckpt.maybe_save(
+                    step,
+                    jax.device_get({"state": self.state, "ema": self.ema}),
+                    force=True,
+                )
+                samples = np.asarray(self.sample(self.num_samples))
+                viz.save_image(
+                    samples, self.results / f"sample-{step // self.save_every}.png"
+                )
+                if self.calculate_fid:
+                    real = np.stack(
+                        [self.ds[i][0] for i in range(min(len(self.ds), 256))]
+                    )
+                    fid = fid_between(real, samples, self.fid_feature_fn)
+                    print(f"[trainer] step {step} surrogate-fid: {fid:.3f}")
+        self.ckpt.wait()
+        self.ckpt.close()
+        return self.state, self.ema
+
+
+__all__ = ["Trainer", "ImageFolderDataset"]

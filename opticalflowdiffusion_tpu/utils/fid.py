@@ -1,0 +1,76 @@
+"""Frechet distance tooling (reference's pytorch-fid usage,
+denoising_diffusion.py:1072-1184).
+
+``frechet_distance`` is the exact Frechet formula over feature statistics.
+The reference uses InceptionV3-pool3 features; pretrained Inception weights
+cannot be downloaded in this environment, so the feature extractor is
+pluggable: pass any ``feature_fn(images_nhwc) -> (N, D)`` (e.g. a trained
+classifier's penultimate layer).  The default fallback is a fixed random
+conv feature bank — deterministic and distribution-sensitive, useful for
+relative tracking, clearly NOT Inception-FID (flagged in the metric name).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def feature_stats(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """pytorch_fid.fid_score.calculate_frechet_distance formula."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )
+
+
+def default_feature_fn(dim: int = 64, seed: int = 0) -> Callable:
+    """Fixed random conv feature bank (NOT Inception; see module docstring)."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    w1 = jax.random.normal(k1, (5, 5, 3, 32)) * 0.2
+    w2 = jax.random.normal(k2, (5, 5, 32, dim)) * 0.2
+
+    @jax.jit
+    def fn(images: jnp.ndarray) -> jnp.ndarray:
+        x = jax.lax.conv_general_dilated(
+            images, w1, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        x = jax.nn.relu(x)
+        x = jax.lax.conv_general_dilated(
+            x, w2, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return jnp.mean(x, axis=(1, 2))
+
+    return fn
+
+
+def fid_between(
+    real: np.ndarray, fake: np.ndarray, feature_fn: Optional[Callable] = None
+) -> float:
+    feature_fn = feature_fn or default_feature_fn()
+    f_real = np.asarray(feature_fn(jnp.asarray(real)))
+    f_fake = np.asarray(feature_fn(jnp.asarray(fake)))
+    return frechet_distance(*feature_stats(f_real), *feature_stats(f_fake))
+
+
+__all__ = ["frechet_distance", "feature_stats", "fid_between", "default_feature_fn"]
