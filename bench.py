@@ -1,10 +1,11 @@
 """Benchmark: denoise steps/sec/chip on the flagship FlowDiffuser config.
 
-Measures the reverse-diffusion step (UNet forward + differentiable splat
-warp + posterior update — the hot loop of sampling, reference
+Measures the FULL scanned reverse-diffusion loop (``p_sample_loop`` — one
+XLA program over all timesteps, the production sampling shape, reference
 denoising_diffusion.py:700-729) at the flagship configuration
-(flow_diffuser.yaml: 128x128, target=joint) on the default JAX device, and
-compares against a single-host CPU baseline (BASELINE.md target:
+(flow_diffuser.yaml: 128x128, target=joint) on the default JAX device, with
+a single host readback so tunnel round-trips don't pollute the measurement.
+Compared against a cached single-host CPU baseline (BASELINE.md target:
 >=10x CPU denoise steps/sec/chip).
 
 Prints ONE JSON line:
@@ -16,13 +17,14 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
+CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
 
-def _build(image_size: int, batch: int, dtype: str = "float32"):
+
+def _build_sampler(image_size: int, batch: int, timesteps: int, precision: str):
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +38,8 @@ def _build(image_size: int, batch: int, dtype: str = "float32"):
             "dataset=artificial",
             "algorithm=flow_diffuser",
             f"algorithm.image_size={image_size}",
+            f"algorithm.timesteps={timesteps}",
+            f"+algorithm._precision={precision}",
         ]
     )
     algo = FlowDiffuser(cfg.algorithm)
@@ -45,42 +49,35 @@ def _build(image_size: int, batch: int, dtype: str = "float32"):
     t = jnp.zeros((batch,), jnp.int32)
     params = jax.jit(algo.module.init)(rng, x, cond, t, None)["params"]
 
-    sched = algo.sched
-
-    def denoise_step(params, img, cond, t, rng):
-        """One ancestral reverse step (the sampling hot loop body)."""
-        bt = jnp.full((img.shape[0],), t, jnp.int32)
-        _, x_start, _ = dm.model_predictions(
-            sched, algo._model_fn(params), img, bt, external_cond=cond
+    @jax.jit
+    def run(params, cond, rng):
+        img, _ = dm.p_sample_loop(
+            algo.sched, algo._model_fn(params), rng,
+            (batch, image_size, image_size, algo.channels),
+            external_cond=cond,
         )
-        x_start = jnp.clip(x_start, -1.0, 1.0)
-        mean, _, log_var = dm.q_posterior(sched, x_start, img, bt)
-        noise = jax.random.normal(rng, img.shape, img.dtype)
-        return mean + jnp.exp(0.5 * log_var) * noise
+        return jnp.sum(img.astype(jnp.float32))
 
-    return jax.jit(denoise_step), params, x, cond
+    return run, params, cond
 
 
-def _time_steps(fn, params, img, cond, iters: int) -> float:
+def _steps_per_sec(image_size: int, batch: int, timesteps: int,
+                   precision: str, repeats: int = 2) -> float:
     import jax
 
+    run, params, cond = _build_sampler(image_size, batch, timesteps, precision)
     rng = jax.random.PRNGKey(1)
-    out = fn(params, img, cond, 10, rng)  # compile
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(params, out, cond, 10, rng)
-    out.block_until_ready()
-    return iters / (time.perf_counter() - t0)
-
-
-CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
+    float(run(params, cond, rng))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(params, cond, rng))  # host readback forces completion
+        best = min(best, time.perf_counter() - t0)
+    return timesteps / best
 
 
 def _cpu_baseline(image_size: int, batch: int) -> float:
-    """CPU denoise steps/sec, cached to BASELINE_CPU.json (a single CPU step
-    of the flagship UNet takes minutes on this host — measure once)."""
-    key = f"{image_size}x{batch}"
+    key = f"scan-{image_size}x{batch}"
     cache = {}
     if os.path.exists(CPU_BASELINE_FILE):
         cache = json.load(open(CPU_BASELINE_FILE))
@@ -90,8 +87,8 @@ def _cpu_baseline(image_size: int, batch: int) -> float:
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        fn, params, img, cond = _build(image_size, batch)
-        sps = _time_steps(fn, params, img, cond, iters=2)
+        sps = _steps_per_sec(image_size, batch, timesteps=2,
+                             precision="float32", repeats=1)
     cache[key] = sps
     with open(CPU_BASELINE_FILE, "w") as f:
         json.dump(cache, f, indent=1)
@@ -101,9 +98,10 @@ def _cpu_baseline(image_size: int, batch: int) -> float:
 def main():
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "128"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    timesteps = int(os.environ.get("BENCH_TIMESTEPS", "250"))
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
 
-    fn, params, img, cond = _build(image_size, batch)
-    device_sps = _time_steps(fn, params, img, cond, iters=30)
+    device_sps = _steps_per_sec(image_size, batch, timesteps, precision)
 
     try:
         cpu_sps = _cpu_baseline(image_size, batch)

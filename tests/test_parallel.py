@@ -1,0 +1,84 @@
+"""Mesh/parallelism tests: sharded DP step matches single-device numerics,
+multi-host-style data sharding, replicated/sharded placement helpers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opticalflowdiffusion_tpu.config import Config
+from opticalflowdiffusion_tpu.parallel import mesh as meshlib
+from opticalflowdiffusion_tpu.parallel.train import make_train_step, make_optimizer, TrainState
+
+
+def test_mesh_shapes():
+    m = meshlib.make_mesh()
+    assert m.devices.size == 8
+    m2 = meshlib.make_mesh(data=4, model=2)
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def test_dp_step_matches_single_device(rng):
+    """Gradient step over the 8-device data mesh == single-device step."""
+    from opticalflowdiffusion_tpu.algorithms.flow_learner import FlowLearner
+
+    cfg = Config(dict(name="flow_learner", flow_max=4, lr=1e-3,
+                      weight_decay=0.0, zero_init=False, train_aug=False,
+                      levels=[1, 2]))
+    algo = FlowLearner(cfg)
+    img = rng.random((8, 16, 16, 3)).astype(np.float32)
+    tgt = rng.random((8, 16, 16, 3)).astype(np.float32)
+    flow = rng.random((8, 16, 16, 2)).astype(np.float32)
+    batch = (img, tgt, flow)
+    key = jax.random.PRNGKey(0)
+    state = algo.init(key, batch)
+
+    mesh8 = meshlib.make_mesh(data=8, model=1)
+    mesh1 = meshlib.make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+    step8 = make_train_step(algo.loss_fn, mesh8, donate_state=False)
+    step1 = make_train_step(algo.loss_fn, mesh1, donate_state=False)
+
+    s8, m8 = step8(state, meshlib.shard_batch(mesh8, batch), key)
+    s1, m1 = step1(state, meshlib.shard_batch(mesh1, batch), key)
+
+    assert float(m8["train/loss"]) == pytest.approx(float(m1["train/loss"]), rel=1e-5)
+
+    # gradients must agree up to reduction-order float noise (Adam then
+    # amplifies sign flips on ~0 grads, so compare grads, not params)
+    grad_fn = jax.grad(lambda p, b, r: algo.loss_fn(p, b, r)[0])
+    g8 = jax.jit(grad_fn)(
+        jax.device_put(state.params, meshlib.replicated(mesh8)),
+        meshlib.shard_batch(mesh8, batch), key,
+    )
+    g1 = jax.jit(grad_fn)(state.params, meshlib.shard_batch(mesh1, batch), key)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(g8)),
+        jax.tree_util.tree_leaves(jax.device_get(g1)),
+    ):
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
+
+
+def test_loader_host_sharding(rng):
+    """Per-host dataset sharding covers the index space disjointly."""
+    from opticalflowdiffusion_tpu.data.loader import DataLoader
+
+    class Idx:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return (np.asarray([i], np.int64),)
+
+    loaders = [
+        DataLoader(Idx(), batch_size=4, shuffle=True, seed=7,
+                   num_shards=4, shard_index=k)
+        for k in range(4)
+    ]
+    seen = []
+    for ld in loaders:
+        for (batch,) in ld:
+            seen += list(batch.ravel())
+    assert len(seen) == 64
+    assert sorted(seen) == list(range(64))
