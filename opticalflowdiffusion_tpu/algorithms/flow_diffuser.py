@@ -245,6 +245,10 @@ class FlowDiffuser(Algorithm):
                     {"params": params}, x, cond, t, self_cond,
                     additional_out=additional_out,
                 )
+        if self.cfg.get("_remat"):
+            # rematerialize the UNet in the backward pass (trades FLOPs for
+            # HBM; enables full-res Sintel training) — runtime.remat=true
+            fn = jax.checkpoint(fn, static_argnums=())
         return fn
 
     def _diffusion_loss(self, params, tgt_x, cond, flow_n, rng, override=None):
@@ -373,10 +377,14 @@ class FlowDiffuser(Algorithm):
         else:
             ideal = loss
 
+        epe = jnp.mean(
+            jnp.sqrt(jnp.sum(jnp.square(flow - p_flows), axis=-1) + 1e-12)
+        )
         metrics = {
             "val/loss": loss,
             "val/mse": mse,
             "val/ideal_loss": ideal,
+            "val/epe": epe,
         }
         metrics.update(tensor_stats("val/cond", cond))
         metrics.update(tensor_stats("val/flow", flow))

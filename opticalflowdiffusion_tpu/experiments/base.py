@@ -52,7 +52,7 @@ class BaseExperiment(ABC):
         raise NotImplementedError
 
     def test(self) -> None:
-        raise NotImplementedError
+        raise NotImplementedError  # overridden by JaxExperiment
 
 
 class JaxExperiment(BaseExperiment):
@@ -78,6 +78,8 @@ class JaxExperiment(BaseExperiment):
         rt = self.cfg.get("runtime", Config())
         if "_precision" not in algo_cfg:
             algo_cfg["_precision"] = rt.get("precision", "float32")
+        if "_remat" not in algo_cfg:
+            algo_cfg["_remat"] = bool(rt.get("remat", False))
         return self.compatible_algorithms[algo_cfg.name](algo_cfg)
 
     def _build_dataset(self, split: str):
@@ -168,6 +170,13 @@ class JaxExperiment(BaseExperiment):
                 state, metrics = train_step(state, gbatch, step_rng)
                 step += 1
 
+                if step == int(self.cfg.get("runtime", Config()).get("profile_step", -1)):
+                    # one-step profiler trace (jax.profiler), SURVEY.md §5
+                    with jax.profiler.trace(str(self.out_dir / "profile")):
+                        rng, prng = jax.random.split(rng)
+                        state, metrics = train_step(state, gbatch, prng)
+                        jax.block_until_ready(metrics)
+
                 if step % 50 == 0 and is_main:
                     now = time.time()
                     metrics = {k: float(v) for k, v in metrics.items()}
@@ -190,6 +199,42 @@ class JaxExperiment(BaseExperiment):
             epoch += 1
         ckpt_mgr.maybe_save(step, jax.device_get(state), force=True)
         ckpt_mgr.wait()
+        ckpt_mgr.close()
+
+    # ------------------------------------------------------------------- test
+    def test(self) -> None:
+        """Evaluate on the test split (reference exp_base.py:216-244)."""
+        cfg = self.cfg
+        exp = cfg.experiment
+        is_main = meshlib.is_main_process()
+        logger = self.logger or RunLogger(self.out_dir, cfg.get("wandb"), is_main)
+        test_cfg = exp.get("test", exp.validation)
+        loader = self._build_loader("test", test_cfg.data)
+        rng = jax.random.PRNGKey(self.seed)
+        batch = next(iter(loader))
+        state = self.algorithm.init(rng, batch)
+        ckpt_mgr = CheckpointManager(self.out_dir / "checkpoints")
+        if self.ckpt_path is not None:
+            mgr = CheckpointManager(Path(self.ckpt_path))
+            state = mgr.restore(state)
+            mgr.close()
+        elif ckpt_mgr.latest_step() is not None:
+            state = ckpt_mgr.restore(state)
+        val_step = jax.jit(self.algorithm.val_step)
+        totals, count = {}, 0
+        for batch in loader:
+            rng, vrng = jax.random.split(rng)
+            gbatch = meshlib.shard_batch(self.mesh, batch)
+            metrics, _ = val_step(state.params, gbatch, vrng)
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        if is_main and count:
+            logger.log_dict(
+                {k.replace("val/", "test/").replace("validation/", "test/"):
+                 v / count for k, v in totals.items()},
+                int(state.step),
+            )
         ckpt_mgr.close()
 
     def _validate(self, state, val_loader, val_step, logger, step, limit, rng):

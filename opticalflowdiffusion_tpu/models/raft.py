@@ -81,6 +81,9 @@ def corr_pyramid(fmap1: Array, fmap2: Array, num_levels: int = 4) -> List[Array]
     B, H, W, _ = fmap1.shape
     corr = allpairs_correlation(fmap1, fmap2)  # (B, H, W, H2, W2)
     corr = corr.reshape(B * H * W, H, W, 1)
+    # clamp pyramid depth so the coarsest level stays >= 1 px (small inputs)
+    max_levels = 1 + min(H, W).bit_length() - 1
+    num_levels = min(num_levels, max(1, max_levels))
     pyramid = [corr]
     for _ in range(num_levels - 1):
         c = pyramid[-1]

@@ -112,7 +112,13 @@ class ResnetBlock(nn.Module):
 
 
 class LinearAttention(nn.Module):
-    """O(N) kernel-feature attention (reference :216-244)."""
+    """O(N) kernel-feature attention (reference :216-244).
+
+    The softmax/context/out middle dispatches through
+    ops/attention_pallas.linear_attention_middle: the XLA formulation by
+    default, or the fused two-pass Pallas kernel with
+    ``OFD_ATTN_BACKEND=pallas`` (bit-matching to ~1e-6; see module docs).
+    """
 
     heads: int = 4
     dim_head: int = 32
@@ -120,20 +126,15 @@ class LinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from ..ops.attention_pallas import linear_attention_middle
+
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
-
-        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
-        q = q * (self.dim_head ** -0.5)
-        v = v / (H * W)
-
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)  # sum over space
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
-        out = out.reshape(B, H, W, hidden)
+        out = linear_attention_middle(
+            qkv.reshape(B, H * W, 3 * hidden), self.heads, self.dim_head
+        )
+        out = out.reshape(B, H, W, hidden).astype(self.dtype)
         out = nn.Conv(C, (1, 1), dtype=self.dtype)(out)
         return ChanLayerNorm(dtype=self.dtype)(out)
 

@@ -41,6 +41,7 @@ REFERENCE_QUIRKS (documented, reproduced bit-for-bit in the VJP):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -172,6 +173,172 @@ def splat_raw(
     return _splat_core(inp, flow, int(scale), ox, oy)
 
 
+def _sorted_segment_scatter(vals: Array, idx: Array, num_out: int) -> Array:
+    """Deterministic scatter-add without XLA scatter (which serializes on
+    duplicate indices on TPU): sort by target index, segmented inclusive scan
+    (Hillis-Steele with segment flags — sums stay local to each segment, so
+    no long-prefix fp error), then place segment totals by binary search.
+
+    vals (B, N, C) float32, idx (B, N) int32 in [0, num_out] (num_out = dump).
+    Returns (B, num_out, C).
+    """
+    B, N, C = vals.shape
+
+    ops = [idx] + [vals[..., c] for c in range(C)]
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    skey = sorted_ops[0]
+    svals = jnp.stack(sorted_ops[1:], axis=-1)  # (B, N, C)
+
+    # segment heads: first element or key change
+    heads = jnp.concatenate(
+        [jnp.ones((B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1
+    )
+
+    # segmented inclusive scan over N (log2 steps)
+    x = svals
+    f = heads
+    shift = 1
+    while shift < N:
+        x_prev = jnp.pad(x, ((0, 0), (shift, 0), (0, 0)))[:, :N]
+        f_prev = jnp.pad(f, ((0, 0), (shift, 0)), constant_values=True)[:, :N]
+        x = jnp.where(f[..., None], x, x + x_prev)
+        f = f | f_prev
+        shift *= 2
+
+    # segment totals live at the LAST element of each segment; for output
+    # slot j that position is searchsorted(skey, j, 'right') - 1.
+    targets = jnp.arange(num_out, dtype=skey.dtype)
+    pos = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))(skey) - 1
+    posc = jnp.clip(pos, 0, N - 1)
+    b = jnp.arange(B)[:, None]
+    gathered = x[b, posc]  # (B, num_out, C)
+    valid = (pos >= 0) & (skey[b, posc] == targets[None, :])
+    return jnp.where(valid[..., None], gathered, 0.0)
+
+
+def _window_scatter(inp, tx, ty, finite, Ho, Wo):
+    """Scatter each source pixel's full 2x2 bilinear footprint as ONE window
+    update into a 1-padded output (then crop).  4x fewer scatter updates than
+    per-corner point scatters and each update is a dense (2,2,C) block —
+    dramatically better XLA/TPU lowering than duplicate-index point scatter.
+
+    Windows fully outside the padded output get an out-of-range start index
+    and are dropped by scatter mode DROP; partially-outside windows land in
+    the padding rows/cols which are cropped away.
+    """
+    B, H, W, C = inp.shape
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    wx1 = tx - x0
+    wy1 = ty - y0
+    # (B, H, W, 2, 2) bilinear weights over the window
+    wx = jnp.stack([1.0 - wx1, wx1], axis=-1)
+    wy = jnp.stack([1.0 - wy1, wy1], axis=-1)
+    wwin = wy[..., :, None] * wx[..., None, :]
+
+    # padded start indices; invalid sources pushed out of range (dropped)
+    sy = y0.astype(jnp.int32) + 1
+    sx = x0.astype(jnp.int32) + 1
+    valid = finite & (sy >= 0) & (sy <= Ho) & (sx >= 0) & (sx <= Wo)
+    sy = jnp.where(valid, sy, Ho + 2)
+    sx = jnp.where(valid, sx, Wo + 2)
+    wwin = jnp.where(valid[..., None, None], wwin, 0.0)
+
+    N = H * W
+    updates = (
+        inp.reshape(B, N, 1, 1, C) * wwin.reshape(B, N, 2, 2, 1)
+    )  # (B, N, 2, 2, C)
+    indices = jnp.stack([sy.reshape(B, N), sx.reshape(B, N)], axis=-1)
+
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+
+    def one(upd, idx):
+        out = jnp.zeros((Ho + 2, Wo + 2, C), jnp.float32)
+        return jax.lax.scatter_add(
+            out, idx, upd, dnums,
+            indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+        )
+
+    out = jax.vmap(one)(updates, indices)
+    return out[:, 1 : Ho + 1, 1 : Wo + 1, :]
+
+
+def _matmul_scatter(inp, tx, ty, finite, Ho, Wo, chunk=16384):
+    """Bilinear splat as two MXU matmuls (exact, deterministic, unbounded).
+
+    The 2x2 bilinear footprint factorizes: out[r, c] += v * wy(r) * wx(c)
+    where wy is nonzero only at rows floor(ty), floor(ty)+1 (and likewise
+    wx).  Build dense row/col weight matrices WY (N, Ho), WX (N, Wo) — two
+    shifted one-hots scaled by the bilinear fractions — and contract:
+
+        out[b, r, c, k] = sum_n WY[b,n,r] * WX[b,n,c] * v[b,n,k]
+
+    i.e. one elementwise expand + one dot_general per chunk, which XLA maps
+    straight onto the MXU.  Out-of-range and non-finite targets never match
+    the iota compare, reproducing the kernel's bounds/NaN guards for free.
+    Chunked over source pixels to bound the dense WY/WX intermediates.
+    """
+    B, H, W, C = inp.shape
+    N = H * W
+    v = inp.reshape(B, N, C)
+    txf = jnp.where(finite, tx, -10.0).reshape(B, N)
+    tyf = jnp.where(finite, ty, -10.0).reshape(B, N)
+
+    x0 = jnp.floor(txf)
+    y0 = jnp.floor(tyf)
+    wx1 = txf - x0
+    wy1 = tyf - y0
+
+    cols = jnp.arange(Wo, dtype=jnp.int32)
+    rows = jnp.arange(Ho, dtype=jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    nchunks = max(1, -(-N // chunk))
+    pad = nchunks * chunk - N
+
+    def build(ix, frac, grid):
+        # (B, n, G) weight matrix: (1-frac) at ix, frac at ix+1
+        eq0 = (ix[..., None] == grid).astype(jnp.float32)
+        eq1 = (ix[..., None] + 1 == grid).astype(jnp.float32)
+        return eq0 * (1.0 - frac)[..., None] + eq1 * frac[..., None]
+
+    if pad:
+        z = lambda a, fill: jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+        x0i, y0i = z(x0i, -10), z(y0i, -10)
+        wx1, wy1 = z(wx1, 0.0), z(wy1, 0.0)
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+
+    def body(acc, args):
+        x0c, y0c, wxc, wyc, vc = args
+        WX = build(x0c, wxc, cols)           # (B, n, Wo)
+        WY = build(y0c, wyc, rows)           # (B, n, Ho)
+        right = WX[..., None] * vc[:, :, None, :]  # (B, n, Wo, C)
+        out = jnp.einsum(
+            "bnr,bnwc->brwc", WY, right,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return acc + out, None
+
+    if nchunks == 1:
+        out, _ = body(jnp.zeros((B, Ho, Wo, C), jnp.float32),
+                      (x0i, y0i, wx1, wy1, v))
+    else:
+        resh = lambda a: a.reshape((B, nchunks, chunk) + a.shape[2:]).swapaxes(0, 1)
+        out, _ = jax.lax.scan(
+            body,
+            jnp.zeros((B, Ho, Wo, C), jnp.float32),
+            (resh(x0i), resh(y0i), resh(wx1), resh(wy1), resh(v)),
+        )
+    return out
+
+
 def _splat_fwd_impl(inp, flow, scale, offset_x, offset_y):
     orig_dtype = inp.dtype
     inp = inp.astype(jnp.float32)
@@ -182,6 +349,14 @@ def _splat_fwd_impl(inp, flow, scale, offset_x, offset_y):
     fx, fy, finite = _target_coords(flow, H, W)
     tx = _fwd_transform(fx, W, scale, offset_x)
     ty = _fwd_transform(fy, H, scale, offset_y)
+
+    backend = os.environ.get("OFD_SPLAT_BACKEND", "matmul")
+    if backend == "matmul":
+        out = _matmul_scatter(inp, tx, ty, finite, Ho, Wo)
+        return out.astype(orig_dtype)
+    if backend == "window":
+        out = _window_scatter(inp, tx, ty, finite, Ho, Wo)
+        return out.astype(orig_dtype)
 
     idxs = []
     wvals = []
@@ -197,12 +372,119 @@ def _splat_fwd_impl(inp, flow, scale, offset_x, offset_y):
     vals = inp.reshape(B, H * W, C)
     vals = jnp.tile(vals, (1, 4, 1)) * wgt[..., None]  # (B, 4HW, C)
 
-    def _scatter_one(v, i):
-        out = jnp.zeros((Ho * Wo + 1, C), jnp.float32)
-        return out.at[i].add(v)[:-1]
+    if backend == "xla_scatter":
+        def _scatter_one(v, i):
+            out = jnp.zeros((Ho * Wo + 1, C), jnp.float32)
+            return out.at[i].add(v)[:-1]
 
-    out = jax.vmap(_scatter_one)(vals, idx)
+        out = jax.vmap(_scatter_one)(vals, idx)
+    else:
+        out = _sorted_segment_scatter(vals, idx, Ho * Wo)
     return out.reshape(B, Ho, Wo, C).astype(orig_dtype)
+
+
+def _weight_matrices(t: Array, frac_grid: Array, signed: bool = False):
+    """(B, N, G) bilinear weight (or sign-derivative) matrix for coords t."""
+    t0 = jnp.floor(t)
+    frac = t - t0
+    t0i = t0.astype(jnp.int32)
+    eq0 = (t0i[..., None] == frac_grid).astype(jnp.float32)
+    eq1 = (t0i[..., None] + 1 == frac_grid).astype(jnp.float32)
+    if signed:
+        return eq1 - eq0
+    return eq0 * (1.0 - frac)[..., None] + eq1 * frac[..., None]
+
+
+def _splat_bwd_matmul(scale, res, g):
+    """Backward via the same one-hot matmul factorization as the forward:
+    both reference backward kernels are bilinear gathers, i.e. the transposed
+    contraction out -> sources, mapped onto the MXU instead of point gathers.
+    Reproduces the reference ingrad/flowgrad transforms and quirks exactly
+    (same math as _splat_bwd, different schedule)."""
+    inp, flow, offset_x, offset_y = res
+    g = g.astype(jnp.float32)
+    inp32 = inp.astype(jnp.float32)
+    flow32 = flow.astype(jnp.float32)
+    B, H, W, C = inp.shape
+    Ho, Wo = g.shape[1], g.shape[2]
+    N = H * W
+
+    fx, fy, finite = _target_coords(flow32, H, W)
+    fxf = jnp.where(finite, fx, -10.0).reshape(B, N)
+    fyf = jnp.where(finite, fy, -10.0).reshape(B, N)
+
+    cols = jnp.arange(Wo, dtype=jnp.int32)
+    rows = jnp.arange(Ho, dtype=jnp.int32)
+    hp = jax.lax.Precision.HIGHEST
+
+    tx_i = _ingrad_transform_x(fxf, W, scale, offset_x)
+    ty_i = _ingrad_transform_y(fyf, H, scale, offset_y)
+    tx_f, dxx = _flowgrad_transform_x(fxf, W, scale, offset_x)
+    ty_f, dyy = _flowgrad_transform_y(fyf, H, scale, offset_y)
+    v = inp32.reshape(B, N, C)
+
+    chunk = min(N, 4096)
+    nchunks = -(-N // chunk)
+    pad = nchunks * chunk - N
+
+    def pad1(a, fill=0.0):
+        return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill) if pad else a
+
+    args = (
+        pad1(tx_i, -10.0), pad1(ty_i, -10.0),
+        pad1(tx_f, -10.0), pad1(ty_f, -10.0),
+        (jnp.pad(v, ((0, 0), (0, pad), (0, 0))) if pad else v),
+    )
+    args = tuple(
+        a.reshape((B, nchunks, chunk) + a.shape[2:]).swapaxes(0, 1) for a in args
+    )
+
+    def body(_, a):
+        txi, tyi, txf, tyf, vc = a
+        WXi = _weight_matrices(txi, cols)
+        WYi = _weight_matrices(tyi, rows)
+        ti = jnp.einsum("bnr,brwk->bnwk", WYi, g, precision=hp,
+                        preferred_element_type=jnp.float32)
+        din = jnp.einsum("bnw,bnwk->bnk", WXi, ti, precision=hp,
+                         preferred_element_type=jnp.float32)
+
+        WXf = _weight_matrices(txf, cols)
+        WYf = _weight_matrices(tyf, rows)
+        SXf = _weight_matrices(txf, cols, signed=True)
+        SYf = _weight_matrices(tyf, rows, signed=True)
+        tf = jnp.einsum("bnr,brwk->bnwk", WYf, g, precision=hp,
+                        preferred_element_type=jnp.float32)
+        gx = jnp.einsum("bnw,bnwk,bnk->bn", SXf, tf, vc, precision=hp)
+        tf2 = jnp.einsum("bnr,brwk->bnwk", SYf, g, precision=hp,
+                         preferred_element_type=jnp.float32)
+        gy = jnp.einsum("bnw,bnwk,bnk->bn", WXf, tf2, vc, precision=hp)
+        return None, (din, gx, gy)
+
+    if nchunks == 1:
+        _, (din, gx, gy) = body(None, tuple(a[0] for a in args))
+        d_inp = din
+    else:
+        _, (din, gx, gy) = jax.lax.scan(body, None, args)
+        din = din.swapaxes(0, 1).reshape(B, nchunks * chunk, C)[:, :N]
+        gx = gx.swapaxes(0, 1).reshape(B, nchunks * chunk)[:, :N]
+        gy = gy.swapaxes(0, 1).reshape(B, nchunks * chunk)[:, :N]
+        d_inp = din
+
+    d_inp = d_inp.reshape(B, H, W, C)
+    d_inp = jnp.where(finite[..., None], d_inp, 0.0)
+    # reference quirk #3: x channel scaled by the y freeze flag & vice versa
+    gx = gx.reshape(B, N)[:, :N] if nchunks == 1 else gx
+    d_flow = jnp.stack(
+        [gx.reshape(B, N) * dyy, gy.reshape(B, N) * dxx], axis=-1
+    ).reshape(B, H, W, 2)
+    d_flow = jnp.where(finite[..., None], d_flow, 0.0)
+
+    return (
+        d_inp.astype(inp.dtype),
+        d_flow.astype(flow.dtype),
+        jnp.zeros_like(offset_x),
+        jnp.zeros_like(offset_y),
+    )
 
 
 def _splat_fwd(inp, flow, scale, offset_x, offset_y):
@@ -211,6 +493,8 @@ def _splat_fwd(inp, flow, scale, offset_x, offset_y):
 
 
 def _splat_bwd(scale, res, g):
+    if os.environ.get("OFD_SPLAT_BACKEND", "matmul") == "matmul":
+        return _splat_bwd_matmul(scale, res, g)
     inp, flow, offset_x, offset_y = res
     g = g.astype(jnp.float32)
     inp32 = inp.astype(jnp.float32)
