@@ -106,14 +106,6 @@ class FrameGenerator(Algorithm):
         if rollout:
             # autoregressive rollout (diffusion_animation.py:83-92)
             T = x.shape[1]
-
-            def step(prev_frame, xt):
-                cond_t = xt[..., 3:]
-                cond_t = jnp.concatenate([prev_frame, cond_t[..., 3:]], axis=-1)
-                nonlocal_rng = jax.random.fold_in(rng_r, 0)
-                s = self.sample(params, cond_t, nonlocal_rng)
-                return s[..., :3], s
-
             frames = []
             prev = None
             for it in range(T):

@@ -125,15 +125,12 @@ class FlowDiffuser(Algorithm):
         # diffusion-state channel count (reference flow_diffuser.py:122)
         if self.latent:
             self.channels = int(cfg.latent_dim)
+        elif self.target == "target":
+            self.channels = self.dim          # warped image
+        elif self.target == "joint":
+            self.channels = self.dim + 2      # warped image + flow
         else:
-            self.channels = (
-                2 + 1 * (self.target == "target") * 1
-                + 3 * (self.target == "joint")
-            )
-            if self.target == "target":
-                self.channels = self.dim  # warped image only
-            elif self.target == "joint":
-                self.channels = self.dim + 2
+            self.channels = 2                 # flow only
 
         unet_in = self.dim + unet_dims * int(self.is_diffusion)
         self.module = UnetWithWarp(
@@ -158,6 +155,10 @@ class FlowDiffuser(Algorithm):
         if self.is_diffusion:
             self.sched = dm.make_schedule(
                 timesteps=int(cfg.timesteps),
+                sampling_timesteps=(
+                    int(cfg.sampling_timesteps)
+                    if cfg.get("sampling_timesteps") else None
+                ),
                 objective="pred_x0",
                 noise_space="image" if cfg.get("noiser", "image") == "image" else "flow",
                 min_snr_loss_weight=True,
@@ -303,10 +304,17 @@ class FlowDiffuser(Algorithm):
         B, H, W = cond.shape[0], cond.shape[1], cond.shape[2]
         shape = (B, H, W, self.channels)
         if self.is_diffusion and return_every is not None:
-            # largest stride <= requested that divides T (parity: 50 | 1000)
-            return_every = min(int(return_every), self.sched.num_timesteps)
-            while self.sched.num_timesteps % return_every:
-                return_every -= 1
+            if self.sched.is_ddim_sampling:
+                # stride over the (short) DDIM trajectory; final state is
+                # always kept as the last frame (models/diffusion.py)
+                return_every = max(
+                    1, min(int(return_every), self.sched.sampling_timesteps)
+                )
+            else:
+                # largest stride <= requested that divides T (parity: 50|1000)
+                return_every = min(int(return_every), self.sched.num_timesteps)
+                while self.sched.num_timesteps % return_every:
+                    return_every -= 1
         if self.is_diffusion:
             if self.target == "target":
                 traj, adds = dm.p_sample_loop(

@@ -159,6 +159,7 @@ class JaxExperiment(BaseExperiment):
         limit_val = int(exp.validation.get("limit_batch", 1))
         max_steps = int(exp.training.get("max_steps", -1))
         max_epochs = int(exp.get("epochs", -1))
+        log_every = int(cfg.get("runtime", Config()).get("log_every", 50))
 
         step = start_step
         epoch = 0
@@ -177,10 +178,10 @@ class JaxExperiment(BaseExperiment):
                         state, metrics = train_step(state, gbatch, prng)
                         jax.block_until_ready(metrics)
 
-                if step % 50 == 0 and is_main:
+                if step % log_every == 0 and is_main:
                     now = time.time()
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    metrics["train/steps_per_sec"] = 50.0 / (now - t_last)
+                    metrics["train/steps_per_sec"] = log_every / (now - t_last)
                     t_last = now
                     logger.log_dict(metrics, step)
 

@@ -479,8 +479,12 @@ def ddim_sample(
     if return_every is None:
         return img, None
     traj = jnp.concatenate([img0[None], traj], axis=0)
-    traj = jnp.moveaxis(traj, 0, 1)[:, ::return_every]
-    return traj, None
+    traj = jnp.moveaxis(traj, 0, 1)  # (B, S+1, ...)
+    # subsample but ALWAYS keep the final state as the last frame
+    idx = list(range(0, S + 1, max(1, int(return_every))))
+    if idx[-1] != S:
+        idx.append(S)
+    return traj[:, jnp.asarray(idx)], None
 
 
 def sample(

@@ -1,0 +1,81 @@
+"""Training actually learns: loss decreases substantially over real steps.
+
+The e2e tests check finiteness; this checks optimization. MatrixFlow with
+goal=gt_flow_pred (supervised flow regression) on the artificial dataset is
+the fastest-converging configuration.  Also covers the DDIM few-step
+sampling path on the flagship.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from opticalflowdiffusion_tpu.config import Config
+from opticalflowdiffusion_tpu.data.artificial import ArtificialDataset
+from opticalflowdiffusion_tpu.data.loader import DataLoader
+from opticalflowdiffusion_tpu.parallel import mesh as meshlib
+from opticalflowdiffusion_tpu.parallel.train import make_train_step
+
+
+def test_matrix_flow_supervised_loss_decreases(rng):
+    from opticalflowdiffusion_tpu.algorithms.matrix_flow import MatrixFlow
+
+    ds_cfg = Config(dict(image_size=16, size=128, shape="boxes", bg="checkers",
+                         seed=1))
+    ds = ArtificialDataset(ds_cfg)
+    loader = DataLoader(ds, batch_size=16, shuffle=True, seed=0)
+
+    cfg = Config(dict(
+        name="matrix_flow", image_size="16,16", architecture="unet",
+        goal="gt_flow_pred", lr=2e-4, weight_decay=0.0, radius=3,
+        smoothness_weight=0.0, smoothness_lmbd=2.0, identity_weight=0.0,
+        copout_weight=0.0, divergence_weight=0.0, inversion_weight=0.0,
+        small_eps=0.5, eps=1e-15,
+    ))
+    algo = MatrixFlow(cfg)
+    mesh = meshlib.make_mesh()
+    batch = next(iter(loader))
+    key = jax.random.PRNGKey(0)
+    state = algo.init(key, batch, clip=100)
+    step = make_train_step(algo.loss_fn, mesh)
+
+    losses = []
+    for epoch in range(6):
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, meshlib.shard_batch(mesh, batch), sub)
+            losses.append(float(metrics["train/loss"]))
+
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert np.isfinite(losses).all()
+    assert last < first * 0.5, (first, last, losses[::8])
+
+
+def test_flow_diffuser_ddim_fewstep(rng):
+    """sampling_timesteps < timesteps routes through the DDIM scan."""
+    from opticalflowdiffusion_tpu.algorithms.flow_diffuser import FlowDiffuser
+
+    cfg = Config(dict(
+        name="flow_diffuser", image_size=16, latent_dim=16, flow_max=2,
+        latent_max=2, lr=1e-5, flow_weight=0.0, weight_decay=1e-6,
+        is_diffusion=True, latent=False, timesteps=32, sampling_timesteps=4,
+        target="joint", ae=None, noiser="image", zero_init=True,
+    ))
+    algo = FlowDiffuser(cfg)
+    assert algo.sched.is_ddim_sampling
+
+    img = rng.random((2, 16, 16, 3)).astype(np.float32)
+    tgt = rng.random((2, 16, 16, 3)).astype(np.float32)
+    flow = rng.random((2, 16, 16, 2)).astype(np.float32)
+    batch = (img, tgt, flow)
+    state = algo.init(jax.random.PRNGKey(0), batch)
+    metrics, artifacts = jax.jit(algo.val_step)(
+        state.params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["val/mse"]))
+    # the returned sample must be the DENOISED final state, not the initial
+    # noise (regression: over-strided DDIM trajectory subsampling)
+    mid = np.asarray(artifacts["mid_samples"])
+    assert mid.shape[1] >= 2
+    assert np.abs(mid[:, -1] - mid[:, 0]).max() > 1e-3
