@@ -1,0 +1,122 @@
+"""Model-level unit tests: attention formulas, augmentation flow
+consistency, visualization, UNet structure."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opticalflowdiffusion_tpu.models import unet as U
+
+
+def test_quadratic_attention_matches_manual(rng):
+    m = U.Attention(heads=2, dim_head=8)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 16)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    got = np.asarray(m.apply({"params": params}, x))
+
+    # manual: qkv conv -> scaled dot-product per head -> out conv
+    kw = np.asarray(params["Conv_0"]["kernel"])[0, 0]  # (16, 48)
+    qkv = np.asarray(x).reshape(16, 16) @ kw  # (N, 48)
+    qkv = qkv.reshape(16, 3, 2, 8)
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    q = q * 8 ** -0.5
+    out = np.zeros((16, 2, 8), np.float32)
+    for h in range(2):
+        sim = q[:, h] @ k[:, h].T
+        a = np.exp(sim - sim.max(-1, keepdims=True))
+        a = a / a.sum(-1, keepdims=True)
+        out[:, h] = a @ v[:, h]
+    ow = np.asarray(params["Conv_1"]["kernel"])[0, 0]
+    ob = np.asarray(params["Conv_1"]["bias"])
+    want = (out.reshape(16, 16) @ ow + ob).reshape(1, 4, 4, 16)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sinusoidal_pos_emb():
+    emb = np.asarray(U.sinusoidal_pos_emb(jnp.asarray([0.0, 1.0]), 8))
+    assert emb.shape == (2, 8)
+    np.testing.assert_allclose(emb[0, :4], 0.0, atol=1e-7)  # sin(0)
+    np.testing.assert_allclose(emb[0, 4:], 1.0, atol=1e-7)  # cos(0)
+    assert emb[1, 0] == pytest.approx(np.sin(1.0))
+
+
+def test_unet_zero_init_outputs_zero(rng):
+    m = U.Unet(16, channels=4, out_dim=2, time_in=False, dim_mults=(1, 2),
+               zero_init_final=True)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    p = jax.jit(m.init)(jax.random.PRNGKey(0), x, None, None)["params"]
+    out = np.asarray(m.apply({"params": p}, x, None, None))
+    np.testing.assert_allclose(out, 0.0, atol=1e-7)
+
+
+def test_augmentation_flow_consistency(rng):
+    """Geometric augs must keep (img, tgt, flow) warp-consistent: the
+    forward-warped augmented img still matches the augmented tgt."""
+    from opticalflowdiffusion_tpu.algorithms.augmentation import augment
+    from opticalflowdiffusion_tpu.data.artificial import ArtificialDataset
+    from opticalflowdiffusion_tpu.config import Config
+    from opticalflowdiffusion_tpu.ops.warp import warp_forward_flow
+
+    ds = ArtificialDataset(Config(dict(
+        image_size=16, size=16, shape="boxes", bg="white", seed=5)))
+    img = jnp.stack([jnp.asarray(ds[i][0]) for i in range(8)])
+    tgt = jnp.stack([jnp.asarray(ds[i][1]) for i in range(8)])
+    flow = jnp.stack([jnp.asarray(ds[i][2]) for i in range(8)])
+
+    # with many keys, some samples get flipped; consistency must hold for all
+    for seed in range(3):
+        a_img, a_tgt, a_flow = augment(jax.random.PRNGKey(seed), img, tgt, flow)
+        warped = warp_forward_flow(a_img, a_flow)
+        w = np.asarray(warped)
+        t = np.asarray(a_tgt)
+        mask = np.isfinite(w)
+        err = np.abs(w[mask] - t[mask]).mean()
+        assert err < 0.2, (seed, err)
+
+
+def test_flow_to_image_properties(rng):
+    from opticalflowdiffusion_tpu.utils.visualization import flow_to_image
+
+    flow = rng.standard_normal((2, 8, 8, 2)).astype(np.float32)
+    img = flow_to_image(flow)
+    assert img.shape == (2, 8, 8, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # zero flow renders (near) white
+    white = flow_to_image(np.zeros((1, 4, 4, 2), np.float32))
+    assert white.min() > 0.95
+
+
+def test_common_models(rng):
+    from opticalflowdiffusion_tpu.models.common import (
+        SimpleMlp, CnnEncoder, CnnDecoder, bottle)
+
+    mlp = SimpleMlp(out_dim=3, hidden_dim=8, n_layers=2)
+    x = jnp.asarray(rng.standard_normal((4, 5)), jnp.float32)
+    p = mlp.init(jax.random.PRNGKey(0), x)["params"]
+    assert mlp.apply({"params": p}, x).shape == (4, 3)
+
+    enc = CnnEncoder(embedding_size=16)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    pe = enc.init(jax.random.PRNGKey(0), img)["params"]
+    emb = enc.apply({"params": pe}, img)
+    assert emb.shape == (2, 16)
+
+    dec = CnnDecoder(embedding_size=16)
+    pd = dec.init(jax.random.PRNGKey(0), emb)["params"]
+    out = dec.apply({"params": pd}, emb)
+    assert out.shape[0] == 2 and out.shape[-1] == 3
+
+    y = bottle(lambda a: a * 2, (jnp.ones((3, 4, 5)),))
+    assert y.shape == (3, 4, 5)
+
+
+def test_mobilenet_forward(rng):
+    from opticalflowdiffusion_tpu.models.mobilenet import MobileNetV2
+
+    m = MobileNetV2(num_classes=10)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    variables = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, train=False))()
+    logits = m.apply(variables, x, train=False)
+    assert logits.shape == (2, 10)
+    assert np.isfinite(np.asarray(logits)).all()
