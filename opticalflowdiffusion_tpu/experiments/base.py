@@ -148,8 +148,10 @@ class JaxExperiment(BaseExperiment):
             publish_artifact(self.out_dir.name, self.out_dir / "checkpoints")
 
         accumulate = int(exp.training.optim.get("accumulate_grad_batches", 1))
+        rt = cfg.get("runtime", Config())
         train_step = make_train_step(
-            self.algorithm.loss_fn, self.mesh, accumulate=accumulate
+            self.algorithm.loss_fn, self.mesh, accumulate=accumulate,
+            with_grad_stats=bool(rt.get("grad_stats", False)),
         )
         val_step = jax.jit(self.algorithm.val_step)
 
