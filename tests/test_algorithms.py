@@ -60,6 +60,7 @@ def test_flow_learner_filter_rep(rng):
     _one_grad_step(algo, batch)
 
 
+@pytest.mark.slow
 def test_matrix_flow_goals(rng):
     from opticalflowdiffusion_tpu.algorithms.matrix_flow import MatrixFlow
 
@@ -99,6 +100,7 @@ def test_matrix_flow_filter_roundtrip(rng):
     np.testing.assert_allclose(vec[0, 2:-2, 2:-2], flow[0, 2:-2, 2:-2], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pwc_learner(rng):
     from opticalflowdiffusion_tpu.algorithms.pwc_learner import PWCLearner
 

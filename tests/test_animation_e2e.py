@@ -27,6 +27,7 @@ def _fake_taichi(root: Path, rng, size=12, n=10):
             )
 
 
+@pytest.mark.slow
 def test_main_animation(tmp_path, monkeypatch, rng):
     _fake_taichi(tmp_path / "data", rng)
     monkeypatch.chdir(tmp_path)

@@ -17,6 +17,7 @@ from opticalflowdiffusion_tpu.parallel import mesh as meshlib
 from opticalflowdiffusion_tpu.parallel.train import make_train_step
 
 
+@pytest.mark.slow
 def test_matrix_flow_supervised_loss_decreases(rng):
     from opticalflowdiffusion_tpu.algorithms.matrix_flow import MatrixFlow
 

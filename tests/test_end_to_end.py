@@ -49,6 +49,7 @@ def test_artificial_dataset_flow_consistency(tiny_cfg):
     assert err < 0.15, err
 
 
+@pytest.mark.slow
 def test_flow_diffuser_train_loss_decreases(tiny_cfg):
     ds = ArtificialDataset(tiny_cfg.dataset)
     loader = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
@@ -74,6 +75,7 @@ def test_flow_diffuser_train_loss_decreases(tiny_cfg):
     assert len(losses) == 8
 
 
+@pytest.mark.slow
 def test_flow_diffuser_val_step(tiny_cfg):
     ds = ArtificialDataset(tiny_cfg.dataset)
     loader = DataLoader(ds, batch_size=8, shuffle=False, seed=0)
@@ -94,6 +96,7 @@ def test_flow_diffuser_val_step(tiny_cfg):
         assert np.isfinite(img).all(), k
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_large_batch(tiny_cfg):
     ds = ArtificialDataset(tiny_cfg.dataset)
     loader = DataLoader(ds, batch_size=8, shuffle=False, seed=0)

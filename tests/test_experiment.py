@@ -28,6 +28,7 @@ TINY = [
 ]
 
 
+@pytest.mark.slow
 def test_main_train_and_resume(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import main as main_mod

@@ -10,6 +10,7 @@ import pytest
 from opticalflowdiffusion_tpu.config import Config
 
 
+@pytest.mark.slow
 def test_latent_flow_diffuser_with_ae_artifact(tmp_path, rng, monkeypatch):
     from opticalflowdiffusion_tpu.utils import ckpt as ckpt_mod
     from opticalflowdiffusion_tpu.utils.ckpt import CheckpointManager, publish_artifact

@@ -1,6 +1,7 @@
 """bf16 compute-precision path: params stay fp32, loss finite, grads flow."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +9,7 @@ from opticalflowdiffusion_tpu.config import Config
 from opticalflowdiffusion_tpu.algorithms.flow_diffuser import FlowDiffuser
 
 
+@pytest.mark.slow
 def test_flow_diffuser_bf16(rng):
     cfg = Config(dict(
         name="flow_diffuser", image_size=16, latent_dim=16, flow_max=2,
