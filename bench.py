@@ -19,8 +19,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
 
 

@@ -13,7 +13,6 @@ setup with TPU-native precision config (runtime.precision).
 
 from __future__ import annotations
 
-import os
 import sys
 from datetime import datetime
 from pathlib import Path

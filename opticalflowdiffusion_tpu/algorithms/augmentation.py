@@ -22,9 +22,6 @@ Layout NHWC; flow channels (dx, dy).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

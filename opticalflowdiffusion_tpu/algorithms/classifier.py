@@ -10,7 +10,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from .base import Algorithm

@@ -13,7 +13,6 @@ the full reverse-diffusion sampler are pure functions jitted over the mesh.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -27,7 +26,7 @@ from ..config import Config
 from ..models import diffusion as dm
 from ..models.autoencoder import Autoencoder
 from ..models.unet import Unet
-from ..ops.warp import warp_forward_flow, nan_mse
+from ..ops.warp import warp_forward_flow
 from ..parallel.train import TrainState
 from ..utils import visualization as viz
 from ..utils.grad_stats import tensor_stats

@@ -18,7 +18,7 @@ the flow estimate driving the photometric pyramid, with uniform weights.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,12 +33,7 @@ from ..models.filter_codec import ConvToFilter
 from ..ops import filters as fops
 from ..ops.pyramid import photometric_pyramid_loss, DEFAULT_LEVELS
 from ..ops.splat import softsplat
-from ..ops.warp import (
-    edgeaware_smoothness1,
-    fill_holes_nan,
-    nan_mse,
-    warp_forward_flow,
-)
+from ..ops.warp import edgeaware_smoothness1, fill_holes_nan
 from ..parallel.train import TrainState
 from ..utils import visualization as viz
 from ..utils.grad_stats import tensor_stats

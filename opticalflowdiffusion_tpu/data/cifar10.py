@@ -10,7 +10,6 @@ per-channel normalization; emits (image NHWC float32, label int32).
 from __future__ import annotations
 
 import pickle
-from pathlib import Path
 
 import numpy as np
 

@@ -9,9 +9,6 @@ Emits (img1, img2, flow) float32 NHWC, flow (dx, dy).
 
 from __future__ import annotations
 
-import os
-from pathlib import Path
-
 import numpy as np
 
 from .flow_io import read_flo

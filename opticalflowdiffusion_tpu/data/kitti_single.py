@@ -9,8 +9,6 @@ pixel units.  Emits (img1, img2, flow) float32 NHWC, flow (dx, dy).
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 from .flow_io import read_kitti_png

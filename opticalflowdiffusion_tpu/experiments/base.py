@@ -18,7 +18,6 @@ from pathlib import Path
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config

@@ -8,8 +8,6 @@ frozen latent codec of the latent FlowDiffuser (flow_diffuser.py:82-96).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -4,7 +4,7 @@ time-batch wrapper."""
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Type
+from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -11,7 +11,7 @@ upsampling with the per-level flow scalings (x20 ... x1.25).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ an MXU-friendly convolution with an identity kernel rather than 289 gathers.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ loop inside the same XLA program; clipping matches Lightning's
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

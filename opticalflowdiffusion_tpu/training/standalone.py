@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 from pathlib import Path
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from ..models import diffusion as dm
 from ..models.ema import EmaState, ema_update
 from ..models.unet import Unet
 from ..parallel import mesh as meshlib
-from ..parallel.train import TrainState, make_optimizer, make_train_step
+from ..parallel.train import TrainState, make_train_step
 from ..utils import visualization as viz
 from ..utils.ckpt import CheckpointManager
 from ..utils.fid import fid_between

@@ -19,7 +19,6 @@ import os
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 ARTIFACT_ROOT = Path(os.environ.get("OFD_ARTIFACT_ROOT", "outputs/artifacts"))
