@@ -8,9 +8,14 @@ a single host readback so tunnel round-trips don't pollute the measurement.
 Compared against a cached single-host CPU baseline (BASELINE.md target:
 >=10x CPU denoise steps/sec/chip).
 
-Prints ONE JSON line:
+Prints ONE JSON line with the headline metric plus secondary metrics under
+"extra":
   {"metric": "denoise_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
-   "vs_baseline": N / cpu_steps_per_sec}
+   "vs_baseline": N / cpu_steps_per_sec,
+   "extra": {"train_samples_per_sec": N,
+             "sintel_ddim50_frames_per_sec": N}}
+
+Set BENCH_HEADLINE_ONLY=1 to skip the secondary measurements.
 """
 
 from __future__ import annotations
@@ -74,6 +79,89 @@ def _steps_per_sec(image_size: int, batch: int, timesteps: int,
     return timesteps / best
 
 
+def _make_algo(image_size: int, timesteps: int, precision: str,
+               sampling_timesteps=None):
+    from opticalflowdiffusion_tpu.algorithms.flow_diffuser import FlowDiffuser
+    from opticalflowdiffusion_tpu.config import compose
+
+    overrides = [
+        "experiment=matrix_flow",
+        "dataset=artificial",
+        "algorithm=flow_diffuser",
+        f"algorithm.image_size={image_size}",
+        f"algorithm.timesteps={timesteps}",
+        f"+algorithm._precision={precision}",
+    ]
+    if sampling_timesteps:
+        overrides.append(f"algorithm.sampling_timesteps={sampling_timesteps}")
+    return FlowDiffuser(compose(overrides).algorithm)
+
+
+def _train_samples_per_sec(image_size: int, batch: int, timesteps: int,
+                           precision: str, steps: int = 4) -> float:
+    """Full train step (loss + grads + Adam) samples/sec, synthetic batch."""
+    import jax
+    import numpy as np
+
+    from opticalflowdiffusion_tpu.parallel import mesh as meshlib
+    from opticalflowdiffusion_tpu.parallel.train import make_train_step
+
+    algo = _make_algo(image_size, timesteps, precision)
+    rng = np.random.default_rng(0)
+    batch_np = (
+        rng.standard_normal((batch, image_size, image_size, 3)).astype("float32"),
+        rng.standard_normal((batch, image_size, image_size, 3)).astype("float32"),
+        rng.standard_normal((batch, image_size, image_size, 2)).astype("float32"),
+    )
+    mesh = meshlib.make_mesh()
+    key = jax.random.PRNGKey(0)
+    state = algo.init(key, batch_np, clip=100)
+    step = make_train_step(algo.loss_fn, mesh)
+    gbatch = meshlib.shard_batch(mesh, batch_np)
+    state, m = step(state, gbatch, key)
+    float(m["train/loss"])  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, gbatch, sub)
+    float(m["train/loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
+def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
+                                ddim_steps: int = 50) -> float:
+    """Full-res Sintel (512x256) DDIM few-step sampling frames/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowdiffusion_tpu.models import diffusion as dm
+
+    algo = _make_algo(128, 1000, precision, sampling_timesteps=ddim_steps)
+    H, W = 256, 512
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((batch, H, W, algo.channels), jnp.float32)
+    cond = jnp.zeros((batch, H, W, 3), jnp.float32)
+    t = jnp.zeros((batch,), jnp.int32)
+    params = jax.jit(algo.module.init)(rng, x, cond, t, None)["params"]
+
+    @jax.jit
+    def run(params, cond, rng):
+        img, _ = dm.ddim_sample(
+            algo.sched, algo._model_fn(params), rng,
+            (batch, H, W, algo.channels), external_cond=cond,
+        )
+        return jnp.sum(img.astype(jnp.float32))
+
+    float(run(params, cond, rng))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(params, cond, rng))
+        best = min(best, time.perf_counter() - t0)
+    return batch / best
+
+
 def _cpu_baseline(image_size: int, batch: int) -> float:
     key = f"scan-{image_size}x{batch}"
     cache = {}
@@ -107,6 +195,21 @@ def main():
     except Exception:
         vs = None
 
+    extra = {}
+    if os.environ.get("BENCH_HEADLINE_ONLY") != "1":
+        try:
+            extra["train_samples_per_sec"] = round(
+                _train_samples_per_sec(image_size, 16, timesteps, precision), 2
+            )
+        except Exception as e:  # secondary metrics must not sink the headline
+            extra["train_samples_per_sec_error"] = repr(e)[:200]
+        try:
+            extra["sintel_ddim50_frames_per_sec"] = round(
+                _sintel_ddim_frames_per_sec(precision), 3
+            )
+        except Exception as e:
+            extra["sintel_ddim50_frames_per_sec_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
@@ -114,6 +217,7 @@ def main():
                 "value": round(device_sps, 3),
                 "unit": "steps/s",
                 "vs_baseline": vs,
+                "extra": extra,
             }
         )
     )

@@ -229,6 +229,19 @@ class MatrixFlow(Algorithm):
             return jnp.mean(jnp.square(fil[..., R2]))
         return jnp.asarray(0.0)
 
+    def corrective_loss(self, inp: Array, target: Array) -> Array:
+        """Reward (negative loss) for target pixels that went to 0 on
+        all-white input samples (matrix_flow.py:372-380).  Dead in the
+        reference's ``loss()`` too — kept for class-API parity.  Boolean
+        indexing re-expressed as a mask-weighted reduction for jit-safety.
+        """
+        flat = inp.reshape(inp.shape[0], -1)
+        which_white = jnp.equal(jnp.min(flat, axis=1), 1.0)
+        missed = jnp.equal(target[..., 0], 0.0).astype(jnp.float32)
+        missed = missed * which_white[:, None, None].astype(jnp.float32)
+        denom = self.image_h * self.image_w * inp.shape[0]
+        return -jnp.sum(missed) / denom
+
     def identity_loss(self, fil: Array) -> Array:
         R = self.radius
         w = jnp.square(jnp.arange(R, dtype=jnp.float32) - R // 2)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -39,6 +40,7 @@ class DataLoader:
         prefetch: int = 2,
         num_shards: int = 1,
         shard_index: int = 0,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -48,6 +50,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_shards = num_shards
         self.shard_index = shard_index
+        # sample-loading thread pool (reference num_workers processes,
+        # exp_base.py:135-169; threads suffice here — cv2/np decode+resize
+        # release the GIL).  0 = load serially in the producer thread.
+        self.num_workers = int(num_workers)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -71,14 +77,42 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        pool = (
+            ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.num_workers > 0
+            else None
+        )
+
+        def load(i):
+            return self.dataset[int(i)]
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer is gone, so
+            # abandoned iterators don't leave producer threads blocked
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            for b in range(nb):
-                if stop.is_set():
-                    return
-                batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                samples = [self.dataset[int(i)] for i in batch_idx]
-                q.put(_collate(samples))
-            q.put(None)
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    if pool is not None:
+                        samples = list(pool.map(load, batch_idx))
+                    else:
+                        samples = [load(i) for i in batch_idx]
+                    if not put(_collate(samples)):
+                        return
+                put(None)
+            except BaseException as e:  # surface in the consumer, don't deadlock
+                if not stop.is_set():
+                    put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -87,9 +121,13 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
 
 __all__ = ["DataLoader"]

@@ -23,7 +23,7 @@ import numpy as np
 from ..config import Config
 from ..data.loader import DataLoader
 from ..parallel import mesh as meshlib
-from ..parallel.train import make_train_step
+from ..parallel.train import make_eval_step, make_train_step
 from ..utils.ckpt import CheckpointManager, publish_artifact
 from ..utils.logging import RunLogger
 
@@ -92,6 +92,8 @@ class JaxExperiment(BaseExperiment):
         ds = self._build_dataset(split)
         if ds is None:
             return None
+        import os
+
         return DataLoader(
             ds,
             batch_size=int(data_cfg.batch_size),
@@ -99,6 +101,10 @@ class JaxExperiment(BaseExperiment):
             seed=self.seed,
             num_shards=jax.process_count(),
             shard_index=jax.process_index(),
+            # reference exp_base.py:141 caps workers at os.cpu_count()
+            num_workers=min(
+                os.cpu_count() or 1, int(data_cfg.get("num_workers", 0))
+            ),
         )
 
     # ------------------------------------------------------------------ train
@@ -152,7 +158,7 @@ class JaxExperiment(BaseExperiment):
             self.algorithm.loss_fn, self.mesh, accumulate=accumulate,
             with_grad_stats=bool(rt.get("grad_stats", False)),
         )
-        val_step = jax.jit(self.algorithm.val_step)
+        val_step = make_eval_step(self.algorithm.val_step, self.mesh)
 
         check_interval = exp.validation.get("check_interval", 400)
         if isinstance(check_interval, float):
@@ -222,7 +228,7 @@ class JaxExperiment(BaseExperiment):
             mgr.close()
         elif ckpt_mgr.latest_step() is not None:
             state = ckpt_mgr.restore(state)
-        val_step = jax.jit(self.algorithm.val_step)
+        val_step = make_eval_step(self.algorithm.val_step, self.mesh)
         totals, count = {}, 0
         for batch in loader:
             rng, vrng = jax.random.split(rng)

@@ -170,6 +170,43 @@ class PreNormResidual(nn.Module):
         return self.inner(ChanLayerNorm(dtype=self.dtype)(x)) + x
 
 
+class LinearAttentionBlock(nn.Module):
+    """PreNormResidual(LinearAttention) as ONE fused op.
+
+    Owns the whole block's params (pre-LN gain, qkv/out 1x1 convs as
+    matrices, post-LN gain) and dispatches to the 2-launch Pallas pipeline
+    (ops/attention_fused.py) on TPU — intermediates never leave VMEM — or
+    the identical XLA composition elsewhere.  Replaces the reference's
+    Residual(PreNorm(LinearAttention)) stacking (denoising_diffusion.py:
+    216-244, 338-353).
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.attention_fused import fused_linear_attention_block
+
+        B, H, W, C = x.shape
+        hd = self.heads * self.dim_head
+        g_pre = self.param("prenorm_g", nn.initializers.ones, (C,), jnp.float32)
+        w_qkv = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(), (C, 3 * hd), jnp.float32
+        )
+        w_out = self.param(
+            "out_kernel", nn.initializers.lecun_normal(), (hd, C), jnp.float32
+        )
+        b_out = self.param("out_bias", nn.initializers.zeros, (C,), jnp.float32)
+        g_post = self.param("postnorm_g", nn.initializers.ones, (C,), jnp.float32)
+        y = fused_linear_attention_block(
+            x.reshape(B, H * W, C), g_pre, w_qkv, w_out, b_out, g_post,
+            self.heads, self.dim_head,
+        )
+        return y.reshape(B, H, W, C).astype(self.dtype)
+
+
 def sinusoidal_pos_emb(t: Array, dim: int) -> Array:
     """Reference denoising_diffusion.py:139-151."""
     half = dim // 2
@@ -294,7 +331,7 @@ class Unet(nn.Module):
             x = ResnetBlock(dim_in, self.resnet_block_groups, self.dtype)(x, t)
             hs.append(x)
             x = ResnetBlock(dim_in, self.resnet_block_groups, self.dtype)(x, t)
-            x = PreNormResidual(LinearAttention(dtype=self.dtype), dtype=self.dtype)(x)
+            x = LinearAttentionBlock(dtype=self.dtype)(x)
             hs.append(x)
             if not is_last:
                 x = Downsample(dim_out, dtype=self.dtype)(x)
@@ -312,7 +349,7 @@ class Unet(nn.Module):
             x = ResnetBlock(dim_out, self.resnet_block_groups, self.dtype)(x, t)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
             x = ResnetBlock(dim_out, self.resnet_block_groups, self.dtype)(x, t)
-            x = PreNormResidual(LinearAttention(dtype=self.dtype), dtype=self.dtype)(x)
+            x = LinearAttentionBlock(dtype=self.dtype)(x)
             if not is_last:
                 x = Upsample(dim_in, dtype=self.dtype)(x)
             else:
@@ -331,6 +368,7 @@ class Unet(nn.Module):
 
 __all__ = [
     "Unet", "WSConv", "Block", "ResnetBlock", "LinearAttention", "Attention",
-    "ChanLayerNorm", "PreNormResidual", "Downsample", "Upsample",
+    "ChanLayerNorm", "PreNormResidual", "LinearAttentionBlock",
+    "Downsample", "Upsample",
     "sinusoidal_pos_emb", "RandomOrLearnedSinusoidalPosEmb",
 ]

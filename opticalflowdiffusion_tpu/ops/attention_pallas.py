@@ -46,10 +46,13 @@ def _head_selector(heads: int, dim: int) -> jnp.ndarray:
     return sel.at[jnp.arange(hd), idx].set(1.0)
 
 
-def _ctx_kernel(kv_ref, ctx_ref, m_scr, s_scr, acc_scr):
+def _ctx_kernel(kv_ref, ctx_ref, m_scr, s_scr, acc_scr, *, dim: int):
     """Pass A: accumulate ctx over N blocks with online max rescaling.
 
     grid (B, NB); kv_ref block (1, BN, 2*hd) = [k | v]; ctx_ref (1, hd, hd).
+    The finalized ctx is masked to per-head block-diagonal: attention is
+    per-head (reference einsum bnhd,bnhe->bhde) and the flat (hd, hd) outer
+    product contains cross-head terms that must not reach the q matmul.
     """
     nb = pl.program_id(1)
     n_blocks = pl.num_programs(1)
@@ -77,7 +80,10 @@ def _ctx_kernel(kv_ref, ctx_ref, m_scr, s_scr, acc_scr):
 
     @pl.when(nb == n_blocks - 1)
     def _():
-        ctx_ref[0] = acc_scr[:] / s_scr[:].reshape(hd, 1)
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim
+        hcol = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim
+        ctx = acc_scr[:] / s_scr[:].reshape(hd, 1)
+        ctx_ref[0] = jnp.where(hrow == hcol, ctx, 0.0)
 
 
 def _out_kernel(q_ref, ctx_ref, sel_ref, lsel_ref, out_ref, *, dim: int,
@@ -152,7 +158,7 @@ def _linear_attention_middle_pallas(
     q = qkv[..., :hd]
 
     ctx = pl.pallas_call(
-        _ctx_kernel,
+        functools.partial(_ctx_kernel, dim=dim),
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, block_n, 2 * hd), lambda b, n: (b, n, 0),

@@ -21,13 +21,27 @@ MODEL_AXIS = "model"
 
 
 def maybe_init_distributed() -> None:
-    """jax.distributed.initialize() when launched multi-host (DCN)."""
-    if os.environ.get("OFD_COORDINATOR") and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=os.environ["OFD_COORDINATOR"],
-            num_processes=int(os.environ.get("OFD_NUM_PROCESSES", "1")),
-            process_id=int(os.environ.get("OFD_PROCESS_ID", "0")),
-        )
+    """jax.distributed.initialize() when launched multi-host (DCN).
+
+    Must run BEFORE any backend use — so the already-initialized check reads
+    jax's distributed client state instead of calling ``jax.process_count()``
+    (which would initialize a single-process backend and break the
+    coordination handshake).
+    """
+    if not os.environ.get("OFD_COORDINATOR"):
+        return
+    try:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except Exception:
+        pass
+    jax.distributed.initialize(
+        coordinator_address=os.environ["OFD_COORDINATOR"],
+        num_processes=int(os.environ.get("OFD_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("OFD_PROCESS_ID", "0")),
+    )
 
 
 def make_mesh(
@@ -54,8 +68,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with leading-dim sharding over `data`."""
+    """Device-put a host batch with leading-dim sharding over `data`.
+
+    Multi-process: each host holds its per-host slice of the global batch
+    (the loader shards the dataset by ``jax.process_index()``), assembled
+    into one global jax.Array — the DistributedSampler-equivalent
+    (reference exp_base.py:135-169 + DDP).
+    """
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        nproc = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

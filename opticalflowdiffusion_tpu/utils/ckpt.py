@@ -86,19 +86,37 @@ def download_latest_checkpoint(run_id: str) -> Path:
     )
 
 
-def load_params_from_run(run_id: str, params_template, prefix: Optional[str] = None):
+def load_params_from_run(run_id: str, params_template=None, prefix: Optional[str] = None):
     """Load (a sub-tree of) params from another run's latest checkpoint —
-    the frozen-autoencoder dependency path (flow_diffuser.py:82-94)."""
+    the frozen-autoencoder dependency path (flow_diffuser.py:82-94).
+
+    Restores WITHOUT a template so it accepts both full-TrainState
+    checkpoints written by the experiment loop ({step, params, opt_state})
+    and bare {"params": ...} trees; ``params_template`` is kept for
+    call-compat and optional structure validation.
+    """
+    import jax
+
     ckpt_dir = download_latest_checkpoint(run_id)
     mgr = ocp.CheckpointManager(Path(ckpt_dir).absolute())
     step = mgr.latest_step()
-    restored = mgr.restore(
-        step, args=ocp.args.StandardRestore({"params": params_template})
-    )
-    mgr.close()
-    params = restored["params"]
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    finally:
+        mgr.close()
+    params = restored
+    if isinstance(params, dict) and "params" in params:
+        params = params["params"]
     if prefix:
         params = params[prefix]
+    if params_template is not None:
+        want = jax.tree_util.tree_structure(params_template)
+        got = jax.tree_util.tree_structure(params)
+        if want != got:
+            raise ValueError(
+                f"checkpoint '{run_id}' params tree does not match the "
+                f"expected structure (prefix={prefix!r})"
+            )
     return params
 
 

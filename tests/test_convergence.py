@@ -53,6 +53,54 @@ def test_matrix_flow_supervised_loss_decreases(rng):
     assert last < first * 0.5, (first, last, losses[::8])
 
 
+@pytest.mark.slow
+def test_flow_learner_unsupervised_loss_decreases():
+    """The unsupervised photometric objective actually optimizes: fixed-
+    (batch, rng) eval loss drops after a few epochs, and the predicted-flow
+    EPE at least matches the zero-flow baseline (reference behavior:
+    flow_learner.py:133-222 trains flow purely from photometric loss)."""
+    from opticalflowdiffusion_tpu.algorithms.flow_learner import FlowLearner
+
+    ds = ArtificialDataset(
+        Config(dict(image_size=16, size=128, shape="boxes", bg="checkers",
+                    seed=2))
+    )
+    loader = DataLoader(ds, batch_size=16, shuffle=True, seed=0)
+    cfg = Config(dict(name="flow_learner", flow_max=4, lr=2e-4,
+                      weight_decay=1e-6, zero_init=True, train_aug=False,
+                      levels=[1, 2]))
+    algo = FlowLearner(cfg)
+    mesh = meshlib.make_mesh()
+    batch = next(iter(loader))
+    key = jax.random.PRNGKey(0)
+    state = algo.init(key, batch, clip=100)
+    step = make_train_step(algo.loss_fn, mesh)
+
+    eval_batch = next(iter(loader))
+    eval_rng = jax.random.PRNGKey(7)
+    eval_loss = jax.jit(lambda p: algo.loss_fn(p, eval_batch, eval_rng)[0])
+    before = float(eval_loss(state.params))
+
+    for epoch in range(4):
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, _ = step(state, meshlib.shard_batch(mesh, batch), sub)
+    after = float(eval_loss(state.params))
+    assert np.isfinite(after)
+    assert after < before * 0.8, (before, after)
+
+    metrics, _ = jax.jit(algo.val_step)(
+        state.params, eval_batch, jax.random.PRNGKey(1)
+    )
+    epe = float(metrics["val/epe"])
+    zero_flow_epe = float(
+        np.linalg.norm(np.asarray(eval_batch[2]), axis=-1).mean()
+    )
+    assert np.isfinite(epe)
+    # must not be (much) worse than predicting no motion at all
+    assert epe < zero_flow_epe * 1.5, (epe, zero_flow_epe)
+
+
 def test_flow_diffuser_ddim_fewstep(rng):
     """sampling_timesteps < timesteps routes through the DDIM scan."""
     from opticalflowdiffusion_tpu.algorithms.flow_diffuser import FlowDiffuser

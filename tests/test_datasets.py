@@ -142,6 +142,55 @@ def test_sintel_scan(tmp_path, rng):
     assert flow.shape == (16, 32, 2)
 
 
+def test_sintel_dat_protocol(tmp_path, rng):
+    """The reference-parity Sintel.dat/Sintel_split.dat index path
+    (reference sintel.py:16-46): rows are '<png_tmpl> <flo_tmpl> <num>'
+    with a 7-char path prefix stripped and %-formatted frame numbers;
+    split file marks 1=training / 2=validation."""
+    import cv2
+
+    from opticalflowdiffusion_tpu.data.sintel import SintelDataset
+
+    base = tmp_path / "MPI_Sintel"
+    clean = base / "training" / "clean" / "alley_1"
+    flowd = base / "training" / "flow" / "alley_1"
+    clean.mkdir(parents=True)
+    flowd.mkdir(parents=True)
+    for i in range(1, 7):
+        img = (rng.random((16, 32, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(clean / f"frame_{i:04d}.png"), img)
+        flow_io.write_flo(
+            flowd / f"frame_{i:04d}.flo",
+            np.full((16, 32, 2), float(i), np.float32),
+        )
+
+    # 7-char prefix ("Sintel/") stripped by the [7:] slice, as the reference
+    png_t = "Sintel/training/clean/alley_1/frame_%04d.png"
+    flo_t = "Sintel/training/flow/alley_1/frame_%04d.flo"
+    rows = [(png_t, flo_t, n) for n in (2, 3, 4, 5)]
+    (base / "Sintel.dat").write_text(
+        "".join(f"{p} {f} {n}\n" for p, f, n in rows)
+    )
+    (base / "Sintel_split.dat").write_text("1 x\n2 x\n1 x\n3 x\n")
+
+    cfg = Config(dict(name="sintel", image_size="32,16", root=str(tmp_path)))
+    train = SintelDataset(cfg, "training")
+    val = SintelDataset(cfg, "validation")
+    assert len(train) == 2  # rows 0 and 2 (marked '1')
+    assert len(val) == 1    # row 1 (marked '2'); '3' belongs to neither
+    # row 0 -> frame_num 2: frames 1,2,3 + flow 2
+    assert train.split_paths[0][0].endswith("frame_0001.png")
+    assert train.split_paths[0][1].endswith("frame_0002.png")
+    assert train.split_paths[0][2].endswith("frame_0003.png")
+    assert train.split_paths[0][3].endswith("frame_0002.flo")
+
+    f1, f2, f3, flow = train[0]
+    assert f1.shape == (16, 32, 3) and flow.shape == (16, 32, 2)
+    np.testing.assert_allclose(flow, 2.0)  # flow file content for frame 2
+    _, _, _, vflow = val[0]
+    np.testing.assert_allclose(vflow, 3.0)
+
+
 def test_mnist_reader(tmp_path, rng):
     import struct
 
