@@ -98,7 +98,7 @@ def _make_algo(image_size: int, timesteps: int, precision: str,
 
 
 def _train_samples_per_sec(image_size: int, batch: int, timesteps: int,
-                           precision: str, steps: int = 4) -> float:
+                           precision: str, steps: int = 10) -> float:
     """Full train step (loss + grads + Adam) samples/sec, synthetic batch."""
     import jax
     import numpy as np
@@ -118,8 +118,12 @@ def _train_samples_per_sec(image_size: int, batch: int, timesteps: int,
     state = algo.init(key, batch_np, clip=100)
     step = make_train_step(algo.loss_fn, mesh)
     gbatch = meshlib.shard_batch(mesh, batch_np)
+    # two warm calls: compile, then prove steady-state (a sharding mismatch
+    # between them would recompile — guarded against in make_train_step)
     state, m = step(state, gbatch, key)
-    float(m["train/loss"])  # compile + warm
+    float(m["train/loss"])
+    state, m = step(state, gbatch, key)
+    float(m["train/loss"])
     t0 = time.perf_counter()
     for i in range(steps):
         key, sub = jax.random.split(key)

@@ -328,11 +328,15 @@ class FlowDiffuser(Algorithm):
             )
             if self.target == "joint":
                 return traj[..., : self.dim], traj[..., self.dim :]
-            # target == 'flow': traj is flow; warp final
+            # target == 'flow': traj is the flow trajectory; the sample is
+            # the cond frame warped by the FINAL flow only (reference :199-202
+            # ``samples = warp(img, None, flow[:, -1], mode='forward')``) —
+            # returned with a singleton time axis so downstream trajectory
+            # slicing ([:, -1]) is uniform across targets
             samples = warp_forward_flow(
                 cond[..., : self.dim], traj[:, -1] * self.flow_max
             )
-            return samples, traj
+            return samples[:, None], traj
         # non-diffusion single forward
         if self.target in ("target", "joint"):
             out = self.module.apply(
@@ -416,6 +420,14 @@ class FlowDiffuser(Algorithm):
             )
             last_step = out[..., -2:]
             metrics["val/last_step"] = jnp.mean(jnp.square(last_step - flow_n))
+            # EPE of the t=0 probe flow: isolates "did the model learn flow"
+            # from full-reverse-chain sampling quality (the probe feeds the
+            # clean target, reference :340-349)
+            metrics["val/last_step_epe"] = jnp.mean(
+                jnp.sqrt(jnp.sum(
+                    jnp.square(flow - last_step * self.flow_max), axis=-1
+                ) + 1e-12)
+            )
             artifacts["last_step_flow"] = last_step * self.flow_max
 
             # gradient-descent-direction flow image (reference :351-364)

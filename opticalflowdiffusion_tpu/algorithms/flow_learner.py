@@ -148,10 +148,7 @@ class FlowLearner(Algorithm):
             packed_noim = packed.at[..., -1].set(0.0)
             warped_noim = fops.warp_forward_filter(img, packed_noim)
             if self.cfg.get("occlusion_mask", True):
-                inverted = fops.invert_filter(packed_noim)
-                mask = (
-                    jnp.sum(inverted[..., : self.radius ** 2], axis=-1) > 0.25
-                ).astype(jnp.float32)[..., None]
+                mask = fops.occlusion_mask(packed_noim)
             else:
                 mask = jnp.ones_like(img[..., :1])
             diff = jnp.square(warped_noim - tgt) * mask

@@ -182,6 +182,7 @@ def compose(
       * ``algorithm.lr=1e-4``         — override a leaf
       * ``+wandb.name=example``       — add a new key
       * ``++key=value``               — force add/override
+      * ``~algorithm.flow_max``       — delete a key (Hydra tilde grammar)
     """
     root = Path(config_root) if config_root else CONFIG_ROOT
     overrides = list(overrides or [])
@@ -197,7 +198,13 @@ def compose(
 
     # First pass: group re-selection overrides (``experiment=foo``).
     kv_overrides: List[tuple] = []
+    deletions: List[str] = []
     for ov in overrides:
+        if ov.startswith("~"):
+            if "=" in ov:
+                raise ValueError(f"Deletion override '{ov}' takes no value")
+            deletions.append(ov[1:])
+            continue
         if "=" not in ov:
             raise ValueError(f"Malformed override '{ov}' (expected key=value)")
         key, value = ov.split("=", 1)
@@ -230,6 +237,17 @@ def compose(
                 f"Override key '{key}' not found; use +{key}=... to add new keys"
             )
         node[leaf] = value
+
+    for key in deletions:
+        node = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            if part not in node:
+                raise KeyError(f"Deletion key '{key}' not found")
+            node = node[part]
+        if parts[-1] not in node:
+            raise KeyError(f"Deletion key '{key}' not found")
+        del node[parts[-1]]
 
     return cfg
 

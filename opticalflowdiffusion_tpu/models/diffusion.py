@@ -18,8 +18,17 @@ Parity notes (runtime behavior of the reference, not its dead code):
  * The pyramid ``_loss`` shifted-warp loop runs only the (0,0) shift
    (denoising_diffusion.py:930-931 ``range(0, 1)``) — reproduced.
  * ``noise_space='flow'`` is dead code upstream (``permute_warp`` is a pass
-   stub, warp.py:181-228): any attempt to run it there crashes.  Gated off
-   here with a clear error.
+   stub, warp.py:181-228): any attempt to run it there crashes.  Here the
+   documented intent IS implemented (q_sample :806-821, p_sample :686-696):
+   the forward process permute-warps x0 by a scaled Gaussian flow field
+   instead of adding pixel noise, and ancestral sampling perturbs the
+   posterior mean the same way.  One deliberate fix: the dead code scales
+   the flow noise by ``sqrt_alphas_cumprod`` — which DECREASES with t and
+   would invert the forward process (maximum warp at t=0, clean data at
+   t=T); we scale by ``sqrt_one_minus_alphas_cumprod`` so t=0 is (near-)
+   identity and t=T is a full shuffle, as a forward process requires.
+   Requires ``objective='pred_x0'`` (the flagship default) — noise-space
+   targets are shape-incompatible with epsilon/v objectives.
 """
 
 from __future__ import annotations
@@ -32,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.warp import nan_mse_stats
+from ..ops.warp import nan_mse_stats, permute_warp
 
 Array = jax.Array
 ModelFn = Callable[..., Array]
@@ -124,10 +133,12 @@ def make_schedule(
 ) -> Schedule:
     """Build all schedule tables in float64 then cast (reference :502-578)."""
     assert objective in ("pred_noise", "pred_x0", "pred_v")
-    if noise_space != "image":
+    assert noise_space in ("image", "flow")
+    if noise_space == "flow" and objective != "pred_x0":
         raise NotImplementedError(
-            "noise_space='flow' is dead code in the reference (permute_warp "
-            "stub, warp.py:181) and is gated off in this rebuild."
+            "noise_space='flow' requires objective='pred_x0': the flow-"
+            "noise forward process has no epsilon/v target (see module "
+            "docstring parity note)."
         )
     betas = _SCHEDULES[beta_schedule](timesteps)
     alphas = 1.0 - betas
@@ -178,8 +189,28 @@ def extract(a: Array, t: Array, ndim: int) -> Array:
 # Forward process / predictions (reference :589-663, 806-821)
 # ---------------------------------------------------------------------------
 
+def _flow_sigma(sched: Schedule, t: Array, x: Array) -> Array:
+    """Per-axis normalized flow-noise scale for noise_space='flow':
+    NSR(t) = sqrt(1-a)/sqrt(a) pixels, converted to permute_warp's
+    normalized units (1.0 = full extent) per axis."""
+    H, W = x.shape[1], x.shape[2]
+    nsr = extract(
+        sched.sqrt_one_minus_alphas_cumprod
+        / jnp.maximum(sched.sqrt_alphas_cumprod, 1e-6),
+        t, x.ndim,
+    )
+    return nsr * jnp.asarray([1.0 / W, 1.0 / H], jnp.float32)
+
+
 def q_sample(sched: Schedule, x_start: Array, t: Array, noise: Array) -> Array:
     nd = x_start.ndim
+    if sched.noise_space == "flow":
+        # forward process = permutation-warp x0 by scaled Gaussian flow
+        # (reference :806-821 intent; coefficient fixed — module docstring).
+        # Displacement sigma in PIXELS equals the additive process's
+        # noise-to-signal ratio sqrt(1-a)/sqrt(a): ~0 px at t=0 (identity),
+        # >> image size at t=T (full shuffle).  ``noise`` is (B, H, W, 2).
+        return permute_warp(x_start, _flow_sigma(sched, t, x_start) * noise)
     return (
         extract(sched.sqrt_alphas_cumprod, t, nd) * x_start
         + extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * noise
@@ -314,7 +345,11 @@ def p_losses(
 ) -> Array:
     """Training loss (reference :823-891)."""
     rng_noise, rng_sc, rng_off = jax.random.split(rng, 3)
-    noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
+    noise_shape = (
+        x_start.shape[:-1] + (2,) if sched.noise_space == "flow"
+        else x_start.shape
+    )
+    noise = jax.random.normal(rng_noise, noise_shape, x_start.dtype)
     if offset_noise_strength > 0.0:
         off = jax.random.normal(
             rng_off, x_start.shape[:1] + (1, 1) + x_start.shape[-1:], x_start.dtype
@@ -400,9 +435,18 @@ def p_sample_loop(
         )
         x_start = jnp.clip(x_start, -1.0, 1.0)
         mean, _, log_var = q_posterior(sched, x_start, img, bt)
-        noise = jax.random.normal(noise_rng, shape, jnp.float32)
-        noise = jnp.where(t > 0, noise, 0.0)
-        img = mean + jnp.exp(0.5 * log_var) * noise
+        if sched.noise_space == "flow":
+            # perturb the posterior mean by a sigma-scaled permutation warp
+            # instead of additive pixel noise (reference :686-696 intent)
+            fnoise = jax.random.normal(
+                noise_rng, shape[:-1] + (2,), jnp.float32
+            )
+            warped = permute_warp(mean, jnp.exp(0.5 * log_var) * fnoise)
+            img = jnp.where(t > 0, warped, mean)
+        else:
+            noise = jax.random.normal(noise_rng, shape, jnp.float32)
+            noise = jnp.where(t > 0, noise, 0.0)
+            img = mean + jnp.exp(0.5 * log_var) * noise
         return (img, rng), additional
 
     if return_every is None:
@@ -519,8 +563,9 @@ def interpolate(
     t = sched.num_timesteps - 1 if t is None else t
     rng, k1, k2 = jax.random.split(rng, 3)
     bt = jnp.full((x1.shape[0],), t, jnp.int32)
-    xt1 = q_sample(sched, x1, bt, jax.random.normal(k1, x1.shape, x1.dtype))
-    xt2 = q_sample(sched, x2, bt, jax.random.normal(k2, x2.shape, x2.dtype))
+    nshape = x1.shape[:-1] + (2,) if sched.noise_space == "flow" else x1.shape
+    xt1 = q_sample(sched, x1, bt, jax.random.normal(k1, nshape, x1.dtype))
+    xt2 = q_sample(sched, x2, bt, jax.random.normal(k2, nshape, x2.dtype))
     img = (1 - lam) * xt1 + lam * xt2
 
     def step(carry, i):
@@ -532,6 +577,12 @@ def interpolate(
         )
         x_start = jnp.clip(x_start, -1.0, 1.0)
         mean, _, log_var = q_posterior(sched, x_start, img, bt)
+        if sched.noise_space == "flow":
+            fnoise = jax.random.normal(
+                noise_rng, img.shape[:-1] + (2,), img.dtype
+            )
+            warped = permute_warp(mean, jnp.exp(0.5 * log_var) * fnoise)
+            return (jnp.where(i > 0, warped, mean), rng), None
         noise = jax.random.normal(noise_rng, img.shape, img.dtype)
         noise = jnp.where(i > 0, noise, 0.0)
         return (mean + jnp.exp(0.5 * log_var) * noise, rng), None

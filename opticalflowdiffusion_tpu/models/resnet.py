@@ -41,7 +41,11 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 features: bool = False) -> Array:
+        """``features=True`` returns the penultimate pooled embedding (the
+        512-d global-average-pool output) instead of logits — the trained
+        feature extractor for Frechet-distance tracking (utils/fid.py)."""
         x = nn.Conv(64, (3, 3), use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
         x = nn.relu(x)
@@ -52,6 +56,8 @@ class ResNet(nn.Module):
                 x = BasicBlock(planes, first_stride if i == 0 else 1,
                                dtype=self.dtype)(x, train)
         x = jnp.mean(x, axis=(1, 2))
+        if features:
+            return x
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
 
 

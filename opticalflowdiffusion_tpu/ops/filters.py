@@ -142,6 +142,20 @@ def filter_to_flow(flow: Array, C: int = 3) -> Array:
     return jnp.stack([dx, dy], axis=-1)
 
 
+def occlusion_mask(packed: Array, threshold: float = 0.25, C: int = 3) -> Array:
+    """Occlusion mask from a forward gather filter (reference
+    flow_learner.py:210-216): invert the filter and keep pixels that receive
+    at least ``threshold`` total mass — vacated (dis-occluded) destinations
+    receive ~0 and are masked out of the photometric term.
+
+    Returns (B, H, W, 1) float mask.
+    """
+    inverted = invert_filter(flow=packed, C=C)
+    R = get_radius(packed.shape[-1], C)
+    mass = jnp.sum(inverted[..., : R * R], axis=-1)
+    return (mass > threshold).astype(jnp.float32)[..., None]
+
+
 def warp_backward_filter(second: Array, flow: Array) -> Array:
     """Filter-representation backward warp (reference warp.py:158-175)."""
     B, H, W, C = second.shape
@@ -159,6 +173,6 @@ def warp_forward_filter(first: Array, flow: Array) -> Array:
 
 __all__ = [
     "get_radius", "unpack_flow", "pack_flow", "unfold", "bound_mask",
-    "apply_filter", "invert_filter", "filter_to_flow",
+    "apply_filter", "invert_filter", "filter_to_flow", "occlusion_mask",
     "warp_backward_filter", "warp_forward_filter",
 ]

@@ -189,6 +189,45 @@ def downsampled_warp(img: Array, flow: Array, warp_func, level: int = 1) -> Arra
     return jnp.mean(jnp.stack(warped, axis=0), axis=0)
 
 
+def permute_warp(img: Array, flow: Array) -> Array:
+    """One-to-one (permutation) warp: the reference ``permute_warp`` intent
+    (warp.py:181-228 — a ``pass`` stub whose commented-out draft builds a
+    bijective pixel map via wrap-around + argsort; the draft itself is
+    marked buggy upstream).
+
+    Each source pixel's desired destination is its grid position plus
+    ``flow`` (in NORMALIZED units — 1.0 = full image extent, matching the
+    draft's ``grid/ (W-1) + flow``), wrapped torus-style.  Destinations are
+    then assigned by rank: sources sorted by row-major destination key fill
+    output slots in raster order, which resolves collisions while keeping
+    the map an exact permutation (mass-preserving, invertible).  The draft's
+    two-stage row/col argsort with a ``+ 5*row`` separator key is the same
+    lexicographic ordering, done here with one fused key.
+
+    Zero flow is exactly the identity (the key is strictly raster-ordered
+    and ``argsort`` is stable).  Differentiable w.r.t. ``img`` (permuted
+    cotangents); zero gradient w.r.t. ``flow`` (rank assignment) — used on
+    sampled noise only, like the reference intends.
+    """
+    B, H, W, C = img.shape
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    # pixel-center grid normalized by W (not the draft's corner grid / W-1):
+    # keeps positions in (0, 1) so the torus wrap is exact, zero flow maps to
+    # itself, and sub-half-pixel flows cannot flip a pixel's row bucket
+    gx = ((xs.astype(jnp.float32) + 0.5) / W)[None]
+    gy = ((ys.astype(jnp.float32) + 0.5) / H)[None]
+    tx = gx + flow[..., 0]
+    ty = gy + flow[..., 1]
+    tx = tx - jnp.floor(tx)  # wrap to [0, 1) (draft's `vgrid - floor(vgrid)`)
+    ty = ty - jnp.floor(ty)
+    # row-major key: row bucket (strictly separated) + column position
+    key = jnp.floor(ty * H) * 2.0 + tx
+    order = jnp.argsort(key.reshape(B, H * W), axis=-1)
+    flat = img.reshape(B, H * W, C)
+    out = jnp.take_along_axis(flat, order[..., None], axis=1)
+    return out.reshape(B, H, W, C)
+
+
 # ---------------------------------------------------------------------------
 # NaN-aware losses (reference warp.py:260-303)
 # ---------------------------------------------------------------------------
@@ -255,7 +294,7 @@ def spatial_smoothness_loss(flow: Array) -> Array:
 __all__ = [
     "warp", "warp_backward_flow", "warp_forward_flow", "bilinear_gather",
     "scale", "box_downsample", "upsample_bilinear", "upsample_nearest",
-    "downsampled_warp", "nan_mse", "nan_mse_stats", "nan_charbonnier",
+    "downsampled_warp", "permute_warp", "nan_mse", "nan_mse_stats", "nan_charbonnier",
     "charbonnier", "fill_holes_nan", "edgeaware_smoothness1",
     "spatial_smoothness_loss",
 ]

@@ -147,17 +147,49 @@ def make_train_step(
             metrics.update(grad_norm_stats(grads, state.params))
         return new_state, metrics
 
-    return jax.jit(
+    # State must enter with the SAME mesh-annotated aval type every call:
+    # a fresh init state (single-device, no mesh axes in its aval) and a
+    # step-output state (avals tagged {Auto: mesh axes} by sharding-in-types)
+    # produce different tracing-cache keys, so call #2 silently RECOMPILES
+    # the whole step (~85s for the flagship).  device_put onto the mesh
+    # before the first call canonicalizes the types; in_shardings pins them.
+    jitted = jax.jit(
         step,
-        in_shardings=(None, data_sh, repl),
+        in_shardings=(repl, data_sh, repl),
         donate_argnums=(0,) if donate_state else (),
     )
 
+    def call(state: TrainState, batch, rng):
+        leaf = jax.tree_util.tree_leaves(state)[0]
+        sh = getattr(leaf, "sharding", None)
+        if not (isinstance(sh, NamedSharding) and sh.mesh == mesh):
+            state = jax.device_put(state, repl)
+        return jitted(state, batch, rng)
+
+    return call
+
 
 def make_eval_step(fn: Callable, mesh, static_argnums=()):
-    """jit an eval function with batch sharded over the data axis."""
+    """jit an eval function with batch sharded over the data axis.
+
+    Params pinned replicated for the same single-compilation reason as
+    make_train_step (the sampling program here is the most expensive
+    compile in the codebase).
+    """
+    repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(fn, in_shardings=(None, data_sh, None), static_argnums=static_argnums)
+    jitted = jax.jit(
+        fn, in_shardings=(repl, data_sh, None), static_argnums=static_argnums
+    )
+
+    def call(params, batch, rng):
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        sh = getattr(leaf, "sharding", None)
+        if not (isinstance(sh, NamedSharding) and sh.mesh == mesh):
+            params = jax.device_put(params, repl)
+        return jitted(params, batch, rng)
+
+    return call
 
 
 __all__ = ["TrainState", "make_optimizer", "make_train_step", "make_eval_step"]

@@ -79,6 +79,7 @@ class Trainer:
         results_folder: str = "./results",
         calculate_fid: bool = False,
         fid_feature_fn: Optional[Callable] = None,
+        fid_metric_name: Optional[str] = None,
         image_size: int = 32,
         seed: int = 0,
     ):
@@ -92,6 +93,11 @@ class Trainer:
         self.accum = gradient_accumulate_every
         self.calculate_fid = calculate_fid
         self.fid_feature_fn = fid_feature_fn
+        # Honest labeling: random-conv fallback is a surrogate, a supplied
+        # (trained) extractor gets its own name (VERDICT r1 #9).
+        self.fid_metric_name = fid_metric_name or (
+            "feature-fid" if fid_feature_fn is not None else "surrogate-fid"
+        )
         self.results = Path(results_folder)
         self.results.mkdir(parents=True, exist_ok=True)
 
@@ -175,7 +181,10 @@ class Trainer:
                         [self.ds[i][0] for i in range(min(len(self.ds), 256))]
                     )
                     fid = fid_between(real, samples, self.fid_feature_fn)
-                    print(f"[trainer] step {step} surrogate-fid: {fid:.3f}")
+                    print(
+                        f"[trainer] step {step} "
+                        f"{self.fid_metric_name}: {fid:.3f}"
+                    )
         self.ckpt.wait()
         self.ckpt.close()
         return self.state, self.ema

@@ -64,6 +64,54 @@ def default_feature_fn(dim: int = 64, seed: int = 0) -> Callable:
     return fn
 
 
+def classifier_feature_fn(
+    source, arch: str = "resnet18", num_class: int = 10,
+    image_size: int = 32,
+) -> Callable:
+    """Feature extractor from a *trained* classifier's penultimate layer —
+    the stand-in for the reference's InceptionV3-pool3 features
+    (denoising_diffusion.py:1072-1184) given this environment has no
+    pretrained Inception weights.
+
+    ``source`` is either a params pytree (``{"net":..., "batch_stats":...}``
+    as produced by algorithms/classifier.py) or an artifact-store run id /
+    checkpoint path (see training/classifier_pretrain.py, which publishes
+    ``classifier-feat``).  Inputs of any HxW / channel count are adapted:
+    grayscale repeated to 3ch, extra channels dropped, bilinear-resized to
+    the classifier's training resolution.
+    """
+    from ..models.resnet import ResNet18, ResNet34
+
+    if isinstance(source, str):
+        from .ckpt import load_params_from_run
+
+        source = load_params_from_run(source)
+    if isinstance(source, dict) and "state" in source:  # standalone ckpt tree
+        source = source["state"]
+    if isinstance(source, dict) and "params" in source:
+        source = source["params"]
+    params, stats = source["net"], source.get("batch_stats", {})
+    module = {"resnet18": ResNet18, "resnet34": ResNet34}[arch](num_class)
+
+    @jax.jit
+    def fn(images: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(images, jnp.float32)
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        elif x.shape[-1] > 3:
+            x = x[..., :3]
+        if x.shape[1] != image_size or x.shape[2] != image_size:
+            x = jax.image.resize(
+                x, (x.shape[0], image_size, image_size, x.shape[-1]), "bilinear"
+            )
+        return module.apply(
+            {"params": params, "batch_stats": stats}, x,
+            train=False, features=True,
+        )
+
+    return fn
+
+
 def fid_between(
     real: np.ndarray, fake: np.ndarray, feature_fn: Optional[Callable] = None
 ) -> float:
@@ -73,4 +121,7 @@ def fid_between(
     return frechet_distance(*feature_stats(f_real), *feature_stats(f_fake))
 
 
-__all__ = ["frechet_distance", "feature_stats", "fid_between", "default_feature_fn"]
+__all__ = [
+    "frechet_distance", "feature_stats", "fid_between", "default_feature_fn",
+    "classifier_feature_fn",
+]

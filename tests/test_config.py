@@ -56,3 +56,17 @@ def test_yaml_scalar_parsing():
                    "algorithm.flow_max=7"])
     assert cfg.algorithm.is_diffusion is False
     assert cfg.algorithm.flow_max == 7
+
+
+def test_tilde_deletion_override():
+    """Hydra's `~key` deletion grammar: removes a composed key (used e.g. to
+    drop flow_max when selecting the filter representation via radius)."""
+    cfg = compose(["algorithm=flow_learner", "~algorithm.flow_max",
+                   "+algorithm.radius=3"])
+    assert "flow_max" not in cfg.algorithm
+    assert cfg.algorithm.radius == 3
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        compose(["~algorithm.notakey"])
+    with _pytest.raises(ValueError):
+        compose(["~algorithm.lr=3"])

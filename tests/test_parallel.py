@@ -45,7 +45,13 @@ def test_dp_step_matches_single_device(rng):
     assert float(m8["train/loss"]) == pytest.approx(float(m1["train/loss"]), rel=1e-5)
 
     # gradients must agree up to reduction-order float noise (Adam then
-    # amplifies sign flips on ~0 grads, so compare grads, not params)
+    # amplifies sign flips on ~0 grads, so compare grads, not params).
+    # Tolerance rationale: the photometric loss is ill-conditioned — the
+    # charbonnier gradient slope near zero is 1/eps = 1e3, so per-element
+    # grads sit ~1e-2 apart between the psum-of-partials and single-sum
+    # reduction orders.  Real DP bugs (missing psum, cross-head mixing)
+    # produce order-1 relative errors; test_dp_grads_exact_on_smooth_loss
+    # below pins the DP machinery itself to 1e-5.
     grad_fn = jax.grad(lambda p, b, r: algo.loss_fn(p, b, r)[0])
     g8 = jax.jit(grad_fn)(
         jax.device_put(state.params, meshlib.replicated(mesh8)),
@@ -57,7 +63,49 @@ def test_dp_step_matches_single_device(rng):
         jax.tree_util.tree_leaves(jax.device_get(g1)),
     ):
         scale = max(np.abs(b).max(), 1e-3)
-        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
+        d = np.abs(a - b) / scale
+        # sparse chaotic elements bounded; no systematic bias
+        assert d.max() < 5e-2, d.max()
+        # a systematic DP bug (e.g. missing psum normalization) shifts the
+        # mean by O(1); reduction-order noise on this loss sits ~2e-3
+        assert d.mean() < 5e-3, d.mean()
+
+
+def test_dp_grads_exact_on_smooth_loss(rng):
+    """DP mechanics proper: on a well-conditioned loss (MSE through a conv)
+    the 8-device psum gradient matches single-device to float noise."""
+    from flax import linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Conv(8, (3, 3))(x)
+            h = nn.relu(h)
+            return nn.Conv(3, (3, 3))(h)
+
+    net = Net()
+    x = rng.random((8, 8, 8, 3)).astype(np.float32)
+    y = rng.random((8, 8, 8, 3)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+
+    def loss_fn(p, batch, _rng):
+        xx, yy = batch
+        return jnp.mean(jnp.square(net.apply({"params": p}, xx) - yy)), {}
+
+    mesh8 = meshlib.make_mesh(data=8, model=1)
+    mesh1 = meshlib.make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    key = jax.random.PRNGKey(0)
+    grad_fn = jax.grad(lambda p, b, r: loss_fn(p, b, r)[0])
+    g8 = jax.jit(grad_fn)(
+        jax.device_put(params, meshlib.replicated(mesh8)),
+        meshlib.shard_batch(mesh8, (x, y)), key,
+    )
+    g1 = jax.jit(grad_fn)(params, meshlib.shard_batch(mesh1, (x, y)), key)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(g8)),
+        jax.tree_util.tree_leaves(jax.device_get(g1)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def test_loader_host_sharding(rng):
