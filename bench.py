@@ -133,6 +133,46 @@ def _train_samples_per_sec(image_size: int, batch: int, timesteps: int,
     return batch / dt
 
 
+def _video_train_samples_per_sec(precision: str, image_size: int = 256,
+                                 batch: int = 8, steps: int = 6) -> float:
+    """Multi-frame video diffusion at 256^2 (BASELINE.md smoke-ladder step
+    5): FrameGenerator (next-frame DDPM conditioned on last frame + flow)
+    full train step samples/sec."""
+    import jax
+    import numpy as np
+
+    from opticalflowdiffusion_tpu.algorithms.animation import FrameGenerator
+    from opticalflowdiffusion_tpu.config import Config
+    from opticalflowdiffusion_tpu.parallel import mesh as meshlib
+    from opticalflowdiffusion_tpu.parallel.train import make_train_step
+
+    algo = FrameGenerator(Config(dict(
+        name="frame_generator", image_size=image_size, lr=1e-5,
+        weight_decay=1e-6, val_length=2, _precision=precision,
+    )))
+    rng = np.random.default_rng(0)
+    stack = rng.standard_normal(
+        (batch, image_size, image_size, 8)
+    ).astype("float32")
+    batch_np = (stack,)
+    mesh = meshlib.make_mesh()
+    key = jax.random.PRNGKey(0)
+    state = algo.init(key, batch_np, clip=100)
+    step = make_train_step(algo.loss_fn, mesh)
+    gbatch = meshlib.shard_batch(mesh, batch_np)
+    state, m = step(state, gbatch, key)
+    float(m["train/loss"])
+    state, m = step(state, gbatch, key)
+    float(m["train/loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, gbatch, sub)
+    float(m["train/loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
 def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
                                 ddim_steps: int = 50) -> float:
     """Full-res Sintel (512x256) DDIM few-step sampling frames/sec."""
@@ -209,10 +249,19 @@ def main():
             extra["train_samples_per_sec_error"] = repr(e)[:200]
         try:
             extra["sintel_ddim50_frames_per_sec"] = round(
-                _sintel_ddim_frames_per_sec(precision), 3
+                _sintel_ddim_frames_per_sec(
+                    precision,
+                    batch=int(os.environ.get("BENCH_SINTEL_BATCH", "2")),
+                ), 3
             )
         except Exception as e:
             extra["sintel_ddim50_frames_per_sec_error"] = repr(e)[:200]
+        try:
+            extra["video256_train_samples_per_sec"] = round(
+                _video_train_samples_per_sec(precision), 2
+            )
+        except Exception as e:
+            extra["video256_train_samples_per_sec_error"] = repr(e)[:200]
 
     print(
         json.dumps(

@@ -180,8 +180,10 @@ class FlowDiffuser(Algorithm):
                 tmpl = jax.jit(self.ae.init)(
                     ae_rng, jnp.zeros_like(img), jnp.zeros_like(flow)
                 )["params"]
+                # template is the AE SUBTREE: load_params_from_run validates
+                # after extracting ``prefix`` from the checkpoint tree
                 self.ae_params = load_params_from_run(
-                    self.cfg.ae, {"ae": tmpl}, prefix="ae"
+                    self.cfg.ae, tmpl, prefix="ae"
                 )
             else:
                 self.ae_params = jax.jit(self.ae.init)(
