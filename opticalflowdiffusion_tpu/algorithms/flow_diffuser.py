@@ -121,10 +121,15 @@ class FlowDiffuser(Algorithm):
         else:
             unet_dims = 2
 
-        # diffusion-state channel count (reference flow_diffuser.py:122)
-        if self.latent:
-            self.channels = int(cfg.latent_dim)
-        elif self.target == "target":
+        # diffusion-state channel count (reference flow_diffuser.py:120).
+        # The reference sets channels=latent_dim for ALL latent targets,
+        # which drops the 2 flow channels from the latent+joint sampling
+        # shape (and makes latent+flow nonsensical) — a crash in the
+        # reference itself; only latent+target worked there.  Fixed here:
+        # the state is target-shaped in whatever space (pixel or latent)
+        # the model runs in, so the formula is uniform with self.dim
+        # already equal to latent_dim in latent mode.
+        if self.target == "target":
             self.channels = self.dim          # warped image
         elif self.target == "joint":
             self.channels = self.dim + 2      # warped image + flow
@@ -257,6 +262,10 @@ class FlowDiffuser(Algorithm):
         rng_t, rng_p = jax.random.split(rng)
         B = tgt_x.shape[0]
         t = jax.random.randint(rng_t, (B,), 0, self.sched.num_timesteps)
+        # opt-in re-enable of the reference's commented-out direct flow-MSE
+        # ("flow loss disabled", denoising_diffusion.py:966-974); default
+        # 0.0 keeps reference-exact behavior
+        flw = float(self.cfg.get("diffusion_flow_weight", 0.0))
         if self.target == "target":
             return dm.p_losses(
                 self.sched,
@@ -264,12 +273,13 @@ class FlowDiffuser(Algorithm):
                 rng_p, tgt_x, t,
                 external_cond=cond, additional_tgt=flow_n,
                 warp_fn=self.warp_fn, image_channels=self.dim,
-                model_out_override=override,
+                model_out_override=override, flow_loss_weight=flw,
             )
         return dm.p_losses(
             self.sched, self._model_fn(params), rng_p, tgt_x, t,
             external_cond=cond, warp_fn=self.warp_fn,
             image_channels=self.dim, model_out_override=override,
+            flow_loss_weight=flw,
         )
 
     def loss(self, params, tgt_x, cond, flow_n, rng, override=None):

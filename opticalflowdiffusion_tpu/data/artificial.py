@@ -40,7 +40,14 @@ class ArtificialDataset:
         else:
             raise ValueError(f"unknown shape {shape}")
 
-        self.flows = (rng.random((self.size, 2)) * 3).astype(np.int64) - 1
+        # max_motion: rebuild extension (default 1 = the reference's
+        # {-1,0,1}^2 motions) — larger motions give flow-model pretraining
+        # (training/flow_pretrain.py) a stronger supervision signal
+        self.max_motion = int(cfg.get("max_motion", 1))
+        m = self.max_motion
+        self.flows = (rng.random((self.size, 2)) * (2 * m + 1)).astype(
+            np.int64
+        ) - m
 
     def _background(self) -> np.ndarray:
         S = self.image_size
@@ -55,10 +62,11 @@ class ArtificialDataset:
 
     def __getitem__(self, index: int):
         S = self.image_size
+        m = self.max_motion
         # native C++ fast path (identical semantics; see native/ofd_native.cpp)
         from . import native
 
-        if native.available():
+        if native.available() and m == 1:
             y0, x0 = self.initial[index]
             hh, ww = self.wh[index]
             fy, fx = self.flows[index]
@@ -75,16 +83,18 @@ class ArtificialDataset:
         first = np.tile(bg, (2, 2, 1))
         first[y0 : y0 + hh, x0 : x0 + ww] = 0.0
 
-        second = np.ones((2 * S + 2, 2 * S + 2, 3), np.float32)
-        second[1:-1, 1:-1] = np.tile(bg, (2, 2, 1))
-        second[y0 + fy + 1 : y0 + fy + hh + 1, x0 + fx + 1 : x0 + fx + ww + 1] = 0.0
+        second = np.ones((2 * S + 2 * m, 2 * S + 2 * m, 3), np.float32)
+        second[m:-m, m:-m] = np.tile(bg, (2, 2, 1))
+        second[
+            y0 + fy + m : y0 + fy + hh + m, x0 + fx + m : x0 + fx + ww + m
+        ] = 0.0
 
         flow = np.zeros((2 * S, 2 * S, 2), np.float32)
         flow[y0 : y0 + hh, x0 : x0 + ww, 0] = fx
         flow[y0 : y0 + hh, x0 : x0 + ww, 1] = fy
 
         first = first[:S, :S]
-        second = second[1 : 1 + S, 1 : 1 + S]
+        second = second[m : m + S, m : m + S]
         flow = flow[:S, :S]
         return first, second, flow
 

@@ -69,6 +69,10 @@ class JaxExperiment(BaseExperiment):
             data=mesh_cfg.get("data", -1), model=mesh_cfg.get("model", 1)
         )
         self.seed = int(rt.get("seed", 0))
+        # runtime.spatial=true: DP x SP — image batches additionally sharded
+        # on NHWC height over the 'model' mesh axis (full-res scaling mode,
+        # parallel/mesh.py::spatial_sharding)
+        self.spatial = bool(rt.get("spatial", False))
         self.algorithm = self._build_algorithm()
         self.out_dir = Path(cfg.get("output_dir", "outputs/run"))
 
@@ -157,6 +161,7 @@ class JaxExperiment(BaseExperiment):
         train_step = make_train_step(
             self.algorithm.loss_fn, self.mesh, accumulate=accumulate,
             with_grad_stats=bool(rt.get("grad_stats", False)),
+            spatial=self.spatial,
         )
         val_step = make_eval_step(self.algorithm.val_step, self.mesh)
 
@@ -174,7 +179,9 @@ class JaxExperiment(BaseExperiment):
         while max_epochs < 0 or epoch < max_epochs:
             for batch in train_loader:
                 rng, step_rng = jax.random.split(rng)
-                gbatch = meshlib.shard_batch(self.mesh, batch)
+                gbatch = meshlib.shard_batch(
+                    self.mesh, batch, spatial=self.spatial
+                )
                 state, metrics = train_step(state, gbatch, step_rng)
                 step += 1
 

@@ -305,6 +305,7 @@ def pyramid_loss(
     flow_out: Optional[Array] = None,
     warp_fn: Optional[Callable] = None,
     levels: Tuple[int, ...] = (1, 2, 4, 8, 16),
+    flow_loss_weight: float = 0.0,
 ) -> Array:
     """The reference ``_loss`` (denoising_diffusion.py:893-983).
 
@@ -314,6 +315,12 @@ def pyramid_loss(
     ``level**4``.  The reference concatenates per-element losses of all terms
     and takes one global nanmean; accumulating (sum, count) pairs is exactly
     equivalent and jit-safe.
+
+    ``flow_loss_weight`` re-enables the reference's commented-out direct
+    flow-MSE term ("flow loss disabled", denoising_diffusion.py:966-974) as
+    an opt-in: with only indirect photometric supervision the joint model's
+    sampled flow channels collapse toward zero on weak-motion data.  Default
+    0.0 = reference-exact.
     """
     s, n = nan_mse_stats(image_out, target)
     total_sum, total_cnt = s, n
@@ -325,6 +332,10 @@ def pyramid_loss(
             tgt_ds = warp_fn(target, jnp.zeros_like(flow_out), scale=level)
             s, n = nan_mse_stats(warped, tgt_ds)
             total_sum = total_sum + s * (level ** 4)
+            total_cnt = total_cnt + n
+        if flow_loss_weight > 0.0 and flow_out is not None:
+            s, n = nan_mse_stats(flow_out, flow_tgt)
+            total_sum = total_sum + s * flow_loss_weight
             total_cnt = total_cnt + n
     return total_sum / jnp.maximum(total_cnt, 1)
 
@@ -342,6 +353,7 @@ def p_losses(
     image_channels: int = 3,
     model_out_override: Optional[Tuple[Array, Optional[Array]]] = None,
     offset_noise_strength: float = 0.0,
+    flow_loss_weight: float = 0.0,
 ) -> Array:
     """Training loss (reference :823-891)."""
     rng_noise, rng_sc, rng_off = jax.random.split(rng, 3)
@@ -390,13 +402,15 @@ def p_losses(
 
     if additional_tgt is not None:
         return pyramid_loss(
-            model_out, target, additional_tgt, external_cond, additional_out, warp_fn
+            model_out, target, additional_tgt, external_cond, additional_out,
+            warp_fn, flow_loss_weight=flow_loss_weight,
         )
     if target.shape[-1] == image_channels + 2:  # joint target (image + flow)
         c = image_channels
         return pyramid_loss(
             model_out[..., :c], target[..., :c], target[..., c:],
             external_cond, model_out[..., c:], warp_fn,
+            flow_loss_weight=flow_loss_weight,
         )
     return pyramid_loss(model_out, target)
 

@@ -63,29 +63,52 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """DP x SP: batch over ``data``, image height over ``model``.
+
+    For NHWC image batches; under pjit the XLA SPMD partitioner inserts the
+    conv halo exchanges and attention collectives automatically (SURVEY.md
+    §5 long-context plan: spatial sharding is the full-res Sintel scaling
+    lever — the reference has no equivalent, its largest parallelism is
+    DDP).
+    """
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with leading-dim sharding over `data`.
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
+    """Device-put a host batch with leading-dim sharding over `data`
+    (``spatial=True`` additionally shards dim 1 — NHWC height — over
+    ``model``; non-image leaves with <3 dims stay data-sharded only).
 
     Multi-process: each host holds its per-host slice of the global batch
     (the loader shards the dataset by ``jax.process_index()``), assembled
     into one global jax.Array — the DistributedSampler-equivalent
     (reference exp_base.py:135-169 + DDP).
     """
-    sh = data_sharding(mesh)
+    data_sh = data_sharding(mesh)
+    sp_sh = spatial_sharding(mesh) if spatial else data_sh
+
+    def sh_for(x):
+        return sp_sh if (spatial and np.ndim(x) >= 3) else data_sh
+
     if jax.process_count() > 1:
         nproc = jax.process_count()
 
         def put(x):
             x = np.asarray(x)
             global_shape = (x.shape[0] * nproc,) + x.shape[1:]
-            return jax.make_array_from_process_local_data(sh, x, global_shape)
+            return jax.make_array_from_process_local_data(
+                sh_for(x), x, global_shape
+            )
 
         return jax.tree_util.tree_map(put, batch)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh_for(x)), batch
+    )
 
 
 def is_main_process() -> bool:
@@ -93,6 +116,7 @@ def is_main_process() -> bool:
 
 
 __all__ = [
-    "make_mesh", "data_sharding", "replicated", "shard_batch",
+    "make_mesh", "data_sharding", "spatial_sharding", "replicated",
+    "shard_batch",
     "maybe_init_distributed", "is_main_process", "DATA_AXIS", "MODEL_AXIS",
 ]

@@ -73,15 +73,23 @@ def make_train_step(
     accumulate: int = 1,
     donate_state: bool = True,
     with_grad_stats: bool = False,
+    spatial: bool = False,
 ):
     """Build the jitted DP train step.
 
     ``loss_fn(params, batch, rng) -> (loss, metrics)`` must be pure.  The
     returned callable has signature ``(state, batch, rng) -> (state, metrics)``
     where batch is globally-shaped (sharded over ``data``).
+
+    ``spatial=True`` runs DP x SP: image batches additionally sharded on
+    dim 1 (NHWC height) over the ``model`` mesh axis — the full-res scaling
+    mode (see mesh.spatial_sharding).  Batch shardings are then inferred
+    from the arrays ``shard_batch(..., spatial=True)`` placed (a single
+    pinned spec can't cover mixed image/label leaf ranks).
     """
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    batch_sh = None if spatial else data_sh  # None = infer from arrays
 
     def grads_of(params, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -155,7 +163,7 @@ def make_train_step(
     # before the first call canonicalizes the types; in_shardings pins them.
     jitted = jax.jit(
         step,
-        in_shardings=(repl, data_sh, repl),
+        in_shardings=(repl, batch_sh, repl),
         donate_argnums=(0,) if donate_state else (),
     )
 

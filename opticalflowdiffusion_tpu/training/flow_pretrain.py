@@ -31,6 +31,8 @@ def train_flow_model(
     batch: int = 16,
     lr: float = 2e-4,
     iters: int = 6,
+    corr_levels: int = 4,
+    max_motion: int = 1,
     gamma: float = 0.8,
     seed: int = 0,
     out_dir: str = "outputs/flow_pretrain",
@@ -52,11 +54,11 @@ def train_flow_model(
 
     ds = ArtificialDataset(
         Config(dict(image_size=image_size, size=dataset_size, shape="boxes",
-                    bg="checkers", seed=seed))
+                    bg="checkers", seed=seed, max_motion=max_motion))
     )
     loader = DataLoader(ds, batch_size=batch, shuffle=True, seed=seed)
 
-    model = RAFT(iters=iters)
+    model = RAFT(iters=iters, corr_levels=corr_levels)
     key = jax.random.PRNGKey(seed)
     dummy = jnp.zeros((1, image_size, image_size, 3))
     params = jax.jit(model.init)(key, dummy, dummy)["params"]
@@ -109,6 +111,17 @@ def train_flow_model(
 
     epe_final = float(eval_epe(state.params, ef, es, eflow))
     zero_epe = float(jnp.mean(jnp.linalg.norm(eflow, axis=-1)))
+    # moving-pixel split: the global mean is dominated by the static
+    # background (zero-flow EPE ~0.1 px), so the load-bearing quality
+    # number is EPE restricted to pixels that actually move
+    pred = model.apply({"params": state.params}, ef, es)[-1]
+    err = np.asarray(jnp.linalg.norm(pred - eflow, axis=-1))
+    gmag = np.asarray(jnp.linalg.norm(eflow, axis=-1))
+    moving = gmag > 0.5
+    epe_moving = float(err[moving].mean()) if moving.any() else float("nan")
+    zero_epe_moving = (
+        float(gmag[moving].mean()) if moving.any() else float("nan")
+    )
 
     ckpt_dir = Path(out_dir) / "checkpoints"
     mgr = CheckpointManager(ckpt_dir, every_n_train_steps=steps)
@@ -118,6 +131,7 @@ def train_flow_model(
     publish_artifact(artifact, ckpt_dir)
     result = dict(
         epe=epe_final, epe_init=epe_init, zero_flow_epe=zero_epe,
+        epe_moving=epe_moving, zero_flow_epe_moving=zero_epe_moving,
         steps=done, artifact=artifact, ckpt_dir=str(ckpt_dir),
     )
     print(f"[flow_pretrain] {result}")
@@ -131,12 +145,15 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--corr-levels", type=int, default=4)
+    ap.add_argument("--max-motion", type=int, default=1)
     ap.add_argument("--out-dir", default="outputs/flow_pretrain")
     ap.add_argument("--artifact", default="raft-artificial")
     args = ap.parse_args()
     train_flow_model(
         steps=args.steps, image_size=args.image_size, batch=args.batch,
-        lr=args.lr, iters=args.iters, out_dir=args.out_dir,
+        lr=args.lr, iters=args.iters, corr_levels=args.corr_levels,
+        max_motion=args.max_motion, out_dir=args.out_dir,
         artifact=args.artifact,
     )
 

@@ -183,7 +183,7 @@ def run_parity(
     seed: int = 0,
     latent: bool = True,
     ae_steps: int = 3000,
-    stages: tuple = ("joint", "flow", "latent", "learner"),
+    stages: tuple = ("joint", "flow", "flowloss", "latent", "learner"),
     merge: bool = False,
 ) -> dict:
     import jax
@@ -259,6 +259,10 @@ def run_parity(
         print(f"[parity] {key}: {json.dumps(final_metrics)} "
               f"(init epe {init_metrics.get('val/epe'):.3f})")
         del state
+        # incremental flush: a later-stage failure must not lose finished
+        # stages' results
+        with open(out / "parity_r02.json", "w") as fh:
+            json.dump(results, fh, indent=1)
 
     if "joint" in stages:
         diffuser_run("joint", diffuser_steps, "flow_diffuser", seed)
@@ -268,6 +272,15 @@ def run_parity(
     # reference denoising_diffusion.py:966-974 'flow loss disabled')
     if "flow" in stages:
         diffuser_run("flow", diffuser_steps, "flow_diffuser_flow", seed + 2)
+
+    if "flowloss" in stages:
+        # upgrade knob: the reference's commented-out direct flow-MSE term
+        # re-enabled (diffusion_flow_weight) — fixes the joint model's
+        # sampled-flow collapse under indirect-only supervision
+        diffuser_run(
+            "joint", diffuser_steps, "flow_diffuser_flowloss", seed + 4,
+            extra=["+algorithm.diffusion_flow_weight=1.0"],
+        )
 
     if latent and "latent" in stages:
         # cross-model dependency end-to-end: FlowPred trains the AE artifact,
@@ -284,6 +297,8 @@ def run_parity(
             k: ae_res[k]
             for k in ("recon_mse", "recon_mse_init", "identity_mse", "steps")
         }
+        with open(out / "parity_r02.json", "w") as fh:
+            json.dump(results, fh, indent=1)
         diffuser_run(
             "joint", diffuser_steps // 2, "flow_diffuser_latent", seed + 3,
             extra=["algorithm.latent=true", "algorithm.ae=ae-artificial",
@@ -367,6 +382,9 @@ def _write_report(out: Path, r: dict) -> None:
     rows = [row("FlowDiffuser (joint)", fd)]
     if fdf is not None:
         rows.append(row("FlowDiffuser (flow)", fdf))
+    if r.get("flow_diffuser_flowloss") is not None:
+        rows.append(row("FlowDiffuser (joint + flow-loss upgrade)",
+                        r["flow_diffuser_flowloss"]))
     if r.get("flow_diffuser_latent") is not None:
         rows.append(row("FlowDiffuser (latent joint)", r["flow_diffuser_latent"]))
     rows.append(row("FlowLearner (unsup.)", fl))
@@ -400,6 +418,9 @@ def _write_report(out: Path, r: dict) -> None:
     dist_rows = [dist_row("FlowDiffuser (joint)", fd)]
     if fdf is not None:
         dist_rows.append(dist_row("FlowDiffuser (flow)", fdf))
+    if r.get("flow_diffuser_flowloss") is not None:
+        dist_rows.append(dist_row("FlowDiffuser (joint + flow-loss upgrade)",
+                                  r["flow_diffuser_flowloss"]))
     if r.get("flow_diffuser_latent") is not None:
         dist_rows.append(
             dist_row("FlowDiffuser (latent joint)", r["flow_diffuser_latent"]))
@@ -506,7 +527,7 @@ def main():
     ap.add_argument("--sampling-timesteps", type=int, default=50)
     ap.add_argument("--no-latent", action="store_true")
     ap.add_argument("--ae-steps", type=int, default=3000)
-    ap.add_argument("--stages", default="joint,flow,latent,learner",
+    ap.add_argument("--stages", default="joint,flow,flowloss,latent,learner",
                     help="comma list of joint,flow,latent,learner")
     ap.add_argument("--merge", action="store_true",
                     help="merge onto an existing parity_r02.json")

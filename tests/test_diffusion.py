@@ -148,3 +148,41 @@ def test_pyramid_loss_matches_manual_concat_nanmean(rng):
     allv = np.concatenate(parts)
     want = np.nanmean(allv)
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_pyramid_loss_flow_loss_weight_upgrade(rng):
+    """``flow_loss_weight`` re-enables the reference's commented-out direct
+    flow-MSE term (denoising_diffusion.py:966-974): default 0.0 is
+    reference-exact; >0 adds weight*mse(flow_out, flow_tgt) into the same
+    (sum, count) nanmean accumulation."""
+    from opticalflowdiffusion_tpu.ops.warp import warp_forward_flow
+
+    B, S = 1, 8
+    img_out = rng.standard_normal((B, S, S, 3)).astype(np.float32)
+    target = rng.standard_normal((B, S, S, 3)).astype(np.float32)
+    flow_tgt = rng.standard_normal((B, S, S, 2)).astype(np.float32)
+    cond = rng.standard_normal((B, S, S, 3)).astype(np.float32)
+    flow_out = rng.standard_normal((B, S, S, 2)).astype(np.float32)
+
+    def warp_fn(image, flow, scale=1):
+        return warp_forward_flow(image, flow * 2.0, scale=scale)
+
+    args = (jnp.asarray(img_out), jnp.asarray(target), jnp.asarray(flow_tgt),
+            jnp.asarray(cond), jnp.asarray(flow_out), warp_fn)
+    base = float(dm.pyramid_loss(*args, levels=(1, 2)))
+    off = float(dm.pyramid_loss(*args, levels=(1, 2), flow_loss_weight=0.0))
+    assert off == base  # default is reference-exact
+
+    w = 3.0
+    got = float(dm.pyramid_loss(*args, levels=(1, 2), flow_loss_weight=w))
+    # manual: concat [img mse, level-2 term * 2^4, flow mse * w] -> nanmean
+    parts = [np.square(img_out - target).ravel()]
+    wrp = np.asarray(warp_fn(jnp.asarray(cond), jnp.asarray(flow_out), scale=2))
+    td = np.asarray(
+        warp_fn(jnp.asarray(target), jnp.zeros_like(jnp.asarray(flow_out)), scale=2)
+    )
+    parts.append((np.square(wrp - td) * 2 ** 4).ravel())
+    parts.append((np.square(flow_out - flow_tgt) * w).ravel())
+    want = np.nanmean(np.concatenate(parts))
+    assert got == pytest.approx(want, rel=1e-5)
+    assert got != base

@@ -59,6 +59,15 @@ def test_latent_flow_diffuser_with_ae_artifact(tmp_path, rng, monkeypatch):
         fd_state.params, batch, jax.random.PRNGKey(2)
     )
     assert np.isfinite(float(loss))
+
+    # latent+joint SAMPLING: the reference's channels=latent_dim formula
+    # (flow_diffuser.py:120) drops the flow channels here and crashes —
+    # the rebuilt uniform channel count must sample fine (PARITY.md #9)
+    metrics, arts = jax.jit(algo.val_step)(
+        fd_state.params, batch, jax.random.PRNGKey(3)
+    )
+    assert np.isfinite(float(metrics["val/mse"]))
+    assert arts["p_flows"].shape == flow.shape
     # AE params are not part of the trainable tree at all
     flat = jax.tree_util.tree_flatten_with_path(fd_state.params)[0]
     assert not any("ae" == str(k[0]) for k, _ in flat)
