@@ -282,6 +282,17 @@ def run_parity(
             extra=["+algorithm.diffusion_flow_weight=1.0"],
         )
 
+    if "ancestral" in stages:
+        # same training as the joint stage (same seed), evaluated with the
+        # reference's DEFAULT sampler: ancestral T=1000 (flow_diffuser.yaml
+        # sampling_timesteps: null).  DDIM eta=0 is deterministic given x_T
+        # and mean-seeking — the joint model's sampled flow channels
+        # collapse under it; ancestral noise injection keeps diversity.
+        diffuser_run(
+            "joint", diffuser_steps, "flow_diffuser_ancestral", seed,
+            extra=["~algorithm.sampling_timesteps"],
+        )
+
     if latent and "latent" in stages:
         # cross-model dependency end-to-end: FlowPred trains the AE artifact,
         # the latent FlowDiffuser trains against it frozen (reference
@@ -385,6 +396,9 @@ def _write_report(out: Path, r: dict) -> None:
     if r.get("flow_diffuser_flowloss") is not None:
         rows.append(row("FlowDiffuser (joint + flow-loss upgrade)",
                         r["flow_diffuser_flowloss"]))
+    if r.get("flow_diffuser_ancestral") is not None:
+        rows.append(row("FlowDiffuser (joint, ancestral T=1000)",
+                        r["flow_diffuser_ancestral"]))
     if r.get("flow_diffuser_latent") is not None:
         rows.append(row("FlowDiffuser (latent joint)", r["flow_diffuser_latent"]))
     rows.append(row("FlowLearner (unsup.)", fl))
@@ -421,6 +435,9 @@ def _write_report(out: Path, r: dict) -> None:
     if r.get("flow_diffuser_flowloss") is not None:
         dist_rows.append(dist_row("FlowDiffuser (joint + flow-loss upgrade)",
                                   r["flow_diffuser_flowloss"]))
+    if r.get("flow_diffuser_ancestral") is not None:
+        dist_rows.append(dist_row("FlowDiffuser (joint, ancestral T=1000)",
+                                  r["flow_diffuser_ancestral"]))
     if r.get("flow_diffuser_latent") is not None:
         dist_rows.append(
             dist_row("FlowDiffuser (latent joint)", r["flow_diffuser_latent"]))
