@@ -285,9 +285,10 @@ def run_parity(
     if "ancestral" in stages:
         # same training as the joint stage (same seed), evaluated with the
         # reference's DEFAULT sampler: ancestral T=1000 (flow_diffuser.yaml
-        # sampling_timesteps: null).  DDIM eta=0 is deterministic given x_T
-        # and mean-seeking — the joint model's sampled flow channels
-        # collapse under it; ancestral noise injection keeps diversity.
+        # sampling_timesteps: null).  Sampler ablation: measured r02, the
+        # joint model's flow channels collapse identically under ancestral
+        # and DDIM — the collapse is OBJECTIVE-driven (the reference's
+        # disabled direct flow loss), not a sampler artifact.
         diffuser_run(
             "joint", diffuser_steps, "flow_diffuser_ancestral", seed,
             extra=["~algorithm.sampling_timesteps"],
@@ -456,6 +457,18 @@ predict-no-motion sampler scores):
 | model | W1(|flow|) @init | W1(|flow|) trained | W1(|flow|) zero-flow | W1(u)/W1(v) on moving px | moving-pixel fraction (sampled vs gt) |
 |---|---|---|---|---|---|
 {dist_table}
+
+The FlowDiffuser (flow) row carries the fidelity claim: with the pyramid
+loss supervising the denoised flow directly, the sampled flow distribution
+matches GT closely (W1 ~6x better than zero-flow; moving fraction matches).
+The joint rows' flow channels collapse toward static under BOTH samplers
+(the ancestral row is the same trained model as the joint row, sampled with
+the reference-default ancestral T=1000 — a sampler ablation): the collapse
+is objective-driven — the reference disables the direct flow loss
+("flow loss disabled", denoising_diffusion.py:966-974) so nothing pushes
+sampled flow off the conditional mean — and is reproduced here exactly.
+The joint models' flow heads DO learn flow (last-step probes), and their
+image channels sample correctly (val/mse).
 """
 
     probe = fd["final"].get("last_step_epe_moving")
@@ -548,7 +561,15 @@ def main():
                     help="comma list of joint,flow,latent,learner")
     ap.add_argument("--merge", action="store_true",
                     help="merge onto an existing parity_r02.json")
+    ap.add_argument("--report-only", action="store_true",
+                    help="regenerate PARITY_r02.md from parity_r02.json")
     args = ap.parse_args()
+    if args.report_only:
+        out = Path(args.out_dir)
+        r = json.loads((out / "parity_r02.json").read_text())
+        _write_report(out, r)
+        print(f"[parity] report regenerated at {out / 'PARITY_r02.md'}")
+        return
     run_parity(
         out_dir=args.out_dir, diffuser_steps=args.diffuser_steps,
         learner_steps=args.learner_steps, batch=args.batch,
