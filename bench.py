@@ -257,6 +257,12 @@ def main():
         except Exception as e:
             extra["sintel_ddim50_frames_per_sec_error"] = repr(e)[:200]
         try:
+            extra["sintel_ddim50_b8_frames_per_sec"] = round(
+                _sintel_ddim_frames_per_sec(precision, batch=8), 3
+            )
+        except Exception as e:
+            extra["sintel_ddim50_b8_frames_per_sec_error"] = repr(e)[:200]
+        try:
             extra["video256_train_samples_per_sec"] = round(
                 _video_train_samples_per_sec(precision), 2
             )

@@ -121,12 +121,24 @@ def _resized_crop(rng: jax.Array, stacked: Array, flow: Array):
 
     ys = top + (jnp.arange(H) + 0.5) * h / H - 0.5
     xs = left + (jnp.arange(W) + 0.5) * w / W - 0.5
-    cy = jnp.broadcast_to(ys[:, None], (H, W))
-    cx = jnp.broadcast_to(xs[None, :], (H, W))
 
-    from ..ops.warp import bilinear_gather
+    # The crop resample is SEPARABLE (ys per-row, xs per-col), so instead of
+    # a 2-D bilinear gather (4 random-access gathers per pixel — measured
+    # ~20% of the whole train step on TPU) build tent-weight interpolation
+    # matrices and run two MXU contractions: out = Ry @ img @ Rx^T.  A
+    # tent row reproduces border-clamped bilinear weights exactly.
+    def interp_matrix(coords, n):
+        c = jnp.clip(coords, 0.0, n - 1.0)
+        return jnp.maximum(
+            0.0, 1.0 - jnp.abs(c[:, None] - jnp.arange(n, dtype=c.dtype))
+        )
 
-    out = bilinear_gather(stacked[None], cx[None], cy[None])[0]
+    ry = interp_matrix(ys, H)  # (H, H)
+    rx = interp_matrix(xs, W)  # (W, W)
+    out = jnp.einsum(
+        "ih,hwc,jw->ijc", ry, stacked, rx,
+        preferred_element_type=jnp.float32,
+    )
     fscale = jnp.stack([W / w, H / h])
     flow_scaled = out[..., -2:] * fscale
     return jnp.concatenate([out[..., :-2], flow_scaled], axis=-1)

@@ -70,7 +70,12 @@ class UnetWithWarp(nn.Module):
         )
 
     def _warp(self, image, flow, **kwargs):
-        return warp_forward_flow(image[..., : self.dim], flow * self.flow_max, **kwargs)
+        # warp values in the model compute dtype: with bf16 the splat's MXU
+        # contraction runs single-pass (ops/splat.py precision note);
+        # coordinates (flow) stay f32, result cast back for the f32 caller
+        src = image[..., : self.dim].astype(self.dtype)
+        out = warp_forward_flow(src, flow * self.flow_max, **kwargs)
+        return out.astype(image.dtype)
 
     def __call__(
         self,

@@ -120,3 +120,44 @@ def test_mobilenet_forward(rng):
     logits = m.apply(variables, x, train=False)
     assert logits.shape == (2, 10)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_resized_crop_matmul_matches_bilinear_gather(rng):
+    """The separable MXU formulation of the crop resample (Ry @ img @ Rx^T
+    with tent-weight rows) must equal the border-clamped 2-D bilinear
+    gather it replaced."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowdiffusion_tpu.algorithms.augmentation import _resized_crop
+    from opticalflowdiffusion_tpu.ops.warp import bilinear_gather
+
+    H = W = 16
+    stacked = jnp.asarray(rng.random((H, W, 8)).astype(np.float32))
+    flow = stacked[..., -2:]
+    for seed in range(5):
+        key = jax.random.PRNGKey(seed)
+        got = _resized_crop(key, stacked, flow)
+
+        # reference path: rebuild the same crop coords and gather
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        area = H * W * jax.random.uniform(k1, minval=0.8, maxval=1.0)
+        ratio = jnp.exp(
+            jax.random.uniform(k2, minval=jnp.log(0.9), maxval=jnp.log(1.1))
+        )
+        w = jnp.clip(jnp.sqrt(area * ratio), 1.0, W)
+        h = jnp.clip(jnp.sqrt(area / ratio), 1.0, H)
+        top = jax.random.uniform(k3) * (H - h)
+        left = jax.random.uniform(k4) * (W - w)
+        ys = top + (jnp.arange(H) + 0.5) * h / H - 0.5
+        xs = left + (jnp.arange(W) + 0.5) * w / W - 0.5
+        cy = jnp.broadcast_to(ys[:, None], (H, W))
+        cx = jnp.broadcast_to(xs[None, :], (H, W))
+        want = bilinear_gather(stacked[None], cx[None], cy[None])[0]
+        fscale = jnp.stack([W / w, H / h])
+        want = jnp.concatenate(
+            [want[..., :-2], want[..., -2:] * fscale], axis=-1
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
