@@ -19,9 +19,23 @@ pallas_call launches whose intermediates never leave VMEM:
 
 preLN is recomputed in pass B (cheaper than materializing it to HBM).
 Both passes are all matmuls (MXU) + lane-wise VPU ops.  Requires
-heads*dim_head == 128 (one lane tile — the flagship config).  The backward
-is a custom VJP recomputing through the XLA composition below (identical
-gradients, reference semantics).
+heads*dim_head == 128 (one lane tile — the flagship config).
+
+The backward is ALSO fused (three pallas_call launches, recompute-based —
+nothing but (ctx, m, s) is saved from the forward):
+
+  pass B' (q/out): recompute the q path per N-block, run postLN/out-proj/
+     q-softmax/preLN backwards in VMEM, accumulate dW_out, db_out, dW_q,
+     the gain grads and dctx += q'^T dattn across blocks.
+  pass A'1 (k dot): recompute k' = exp(k - m)/s per block (m, s saved) and
+     accumulate the k-softmax global coupling sdot = sum_n k' * dk'.
+  pass A'2 (k/v): recompute k', form dk = k' * (dk' - sdot), dv, and run
+     the kv-projection + preLN backwards; dx = dx_q + dx_kv.
+
+Recompute beats stashing: re-deriving k' costs one (BN,C)x(C,2hd) MXU
+matmul per block vs ~8 f32 bytes/row/channel of HBM round-trip.  Gradients
+match jax.vjp of the XLA composition to bf16 rounding (tests pin ~1e-2);
+``OFD_ATTN_FUSED_BWD=0`` falls back to the XLA-recompute VJP.
 """
 
 from __future__ import annotations
@@ -50,6 +64,57 @@ def _ln32(x: Array, g: Array) -> Array:
     return (x32 - mean) * jax.lax.rsqrt(var + EPS) * g
 
 
+def _ln_fwd32(x: Array):
+    """LayerNorm forward returning (xhat, rstd) for reuse in backwards."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + EPS)
+    return (x32 - mean) * rstd, rstd
+
+
+def _ln_bwd_dx(dout_g: Array, xhat: Array, rstd: Array) -> Array:
+    """dx of out = xhat * g given dout_g = dout * g (all fp32).
+
+    Standard biased-variance LayerNorm backward:
+    dx = rstd * (dout_g - mean(dout_g) - xhat * mean(dout_g * xhat)).
+    """
+    m1 = jnp.mean(dout_g, axis=-1, keepdims=True)
+    m2 = jnp.mean(dout_g * xhat, axis=-1, keepdims=True)
+    return (dout_g - m1 - xhat * m2) * rstd
+
+
+def _head_softmax32(q: Array, sel: Array, lsel: Array, dim: int) -> Array:
+    """Per-head softmax over aligned dim-lane groups of q (BN, hd), fp32.
+
+    Roll-max cascade gives each lane the max of a dim-wide cyclic window;
+    the group-leader lane holds the exact per-head max, picked out and
+    broadcast back with two selector matmuls (MXU) — see _out_kernel docs.
+    """
+    mwin = q
+    shift = 1
+    while shift < dim:
+        mwin = jnp.maximum(mwin, pltpu.roll(mwin, LANES - shift, 1))
+        shift *= 2
+    mhead = jax.lax.dot_general(
+        mwin, lsel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mfull = jax.lax.dot_general(
+        mhead, sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    eq = jnp.exp(q - mfull)
+    ssum = jax.lax.dot_general(
+        eq, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sfull = jax.lax.dot_general(
+        ssum, sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return eq / sfull
+
+
 def _block_xla(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim,
                compute_dtype=jnp.bfloat16):
     """XLA composition (the reference semantics; CPU fallback + VJP path)."""
@@ -63,11 +128,14 @@ def _block_xla(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim,
 
 
 # ---------------------------------------------------------------- kernels
-def _ctx_kernel(x_ref, gpre_ref, wkv_ref, ctx_ref, m_scr, s_scr, acc_scr, *,
+def _ctx_kernel(x_ref, gpre_ref, wkv_ref, ctx_ref, m_ref, s_ref,
+                m_scr, s_scr, acc_scr, *,
                 n_total: int, block_n: int, dim: int, cdt=jnp.bfloat16):
     """Pass A: preLN + k/v projection + online ctx accumulation.
 
-    grid (B, NB); x block (1, BN, C); ctx (1, hd, hd) fp32.
+    grid (B, NB); x block (1, BN, C); ctx (1, hd, hd) fp32.  Also emits the
+    final k-softmax max m and denominator s (1, 1, hd) — the only state the
+    fused backward needs besides ctx (k' = exp(k - m) / s per block).
     """
     nb = pl.program_id(1)
     n_blocks = pl.num_programs(1)
@@ -114,6 +182,8 @@ def _ctx_kernel(x_ref, gpre_ref, wkv_ref, ctx_ref, m_scr, s_scr, acc_scr, *,
         hcol = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim
         ctx = acc_scr[:] / s_scr[:].reshape(hd, 1)
         ctx_ref[0] = jnp.where(hrow == hcol, ctx, 0.0)
+        m_ref[0] = m_scr[:]
+        s_ref[0] = s_scr[:]
 
 
 def _out_kernel(x_ref, gpre_ref, wq_ref, ctx_ref, sel_ref, lsel_ref,
@@ -128,27 +198,8 @@ def _out_kernel(x_ref, gpre_ref, wq_ref, ctx_ref, sel_ref, lsel_ref,
     )  # (BN, hd)
 
     # per-head softmax over the aligned dim-lane groups (attention_pallas.py)
-    mwin = q
-    shift = 1
-    while shift < dim:
-        mwin = jnp.maximum(mwin, pltpu.roll(mwin, LANES - shift, 1))
-        shift *= 2
-    sel = sel_ref[:]
-    lsel = lsel_ref[:]
-    mhead = jax.lax.dot_general(
-        mwin, lsel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    mfull = jax.lax.dot_general(
-        mhead, sel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    eq = jnp.exp(q - mfull)
-    ssum = jax.lax.dot_general(
-        eq, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    sfull = jax.lax.dot_general(
-        ssum, sel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    qprime = (eq / sfull * (float(dim) ** -0.5)).astype(cdt)
+    sq = _head_softmax32(q, sel_ref[:], lsel_ref[:], dim)
+    qprime = (sq * (float(dim) ** -0.5)).astype(cdt)
 
     ctx = (ctx_ref[0] / float(n_total)).astype(cdt)
     attn = jax.lax.dot_general(
@@ -164,10 +215,15 @@ def _out_kernel(x_ref, gpre_ref, wq_ref, ctx_ref, sel_ref, lsel_ref,
 
 
 def _fused_block_pallas(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim,
-                        block_n: int = 1024, compute_dtype=jnp.bfloat16):
+                        block_n: int | None = None, compute_dtype=jnp.bfloat16):
     B, N, C = x.shape
     hd = heads * dim
     assert hd == LANES, (heads, dim)
+    if block_n is None:
+        # VMEM-bounded: block_n * C <= 512K elements compiles; larger OOMs.
+        # Full-res C=128 runs 1.2x faster at 4096 than 1024 (fewer grid
+        # steps); C=256 is flat, so the bound is also the sweet spot.
+        block_n = max(1024, min(4096, (1 << 19) // C))
     block_n = min(block_n, max(128, 1 << (N - 1).bit_length()))
     nb = -(-N // block_n)
     pad = nb * block_n - N
@@ -182,7 +238,7 @@ def _fused_block_pallas(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim,
     w_kv = w_qkv[:, hd:].astype(jnp.float32)
     w_out32 = w_out.astype(jnp.float32)
 
-    ctx = pl.pallas_call(
+    ctx, m, s = pl.pallas_call(
         functools.partial(_ctx_kernel, n_total=N, block_n=block_n, dim=dim,
                           cdt=compute_dtype),
         grid=(B, nb),
@@ -193,9 +249,19 @@ def _fused_block_pallas(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim,
             pl.BlockSpec((C, 2 * hd), lambda b, n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hd, hd), lambda b, n: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, hd, hd), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, hd, hd), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, hd, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, hd), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((1, hd), jnp.float32),
             pltpu.VMEM((1, hd), jnp.float32),
@@ -230,10 +296,334 @@ def _fused_block_pallas(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), x.dtype),
     )(x, g_pre2, w_q, ctx, sel, lsel, w_out32, b_out2, g_post2)
-    return y[:, :N]
+    return y[:, :N], (ctx, m, s)
+
+
+# ------------------------------------------------------------ bwd kernels
+def _bwd_q_kernel(x_ref, dy_ref, gpre_ref, wq_ref, ctx_ref, sel_ref,
+                  lsel_ref, wout_ref, bout_ref, gpost_ref,
+                  dx_ref, dctx_ref, dwq_ref, dwout_ref, dbout_ref,
+                  dgpre_ref, dgpost_ref, *, dim: int, n_total: int,
+                  cdt=jnp.bfloat16):
+    """Pass B': q/out-path backward, recompute-based.
+
+    Recomputes preLN -> q -> softmax -> attn -> o -> postLN for the block,
+    then runs the whole chain's backward in VMEM.  Padded rows carry dy = 0
+    and therefore contribute nothing to any accumulator.  dctx accumulates
+    q'^T dattn across N-blocks per batch item; weight/gain grads accumulate
+    across the whole grid (TPU grid execution is sequential).
+    """
+    b = pl.program_id(0)
+    nb = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, nb == 0))
+    def _():
+        dwq_ref[:] = jnp.zeros_like(dwq_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+        dgpre_ref[:] = jnp.zeros_like(dgpre_ref)
+        dgpost_ref[:] = jnp.zeros_like(dgpost_ref)
+
+    @pl.when(nb == 0)
+    def _():
+        dctx_ref[:] = jnp.zeros_like(dctx_ref)
+
+    gpre = gpre_ref[0]
+    gpost = gpost_ref[0]
+    xb = x_ref[0]
+    dy = dy_ref[0].astype(jnp.float32)
+
+    # ---- recompute the q path
+    xhat, rstd = _ln_fwd32(xb)
+    ln = (xhat * gpre).astype(cdt)
+    wq_c = wq_ref[:].astype(cdt)
+    q = jax.lax.dot_general(
+        ln, wq_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sq = _head_softmax32(q, sel_ref[:], lsel_ref[:], dim)
+    scale = float(dim) ** -0.5
+    qp32 = sq * scale
+    ctxn = ctx_ref[0].astype(jnp.float32) / float(n_total)
+    attn = jax.lax.dot_general(
+        qp32.astype(cdt), ctxn.astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    wout_c = wout_ref[:].astype(cdt)
+    o = jax.lax.dot_general(
+        attn.astype(cdt), wout_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bout_ref[0]
+    ohat, rstd_o = _ln_fwd32(o)
+
+    # ---- backward: y = x + postLN(o); padded rows have dy == 0
+    dgpost_ref[:] += jnp.sum(dy * ohat, axis=0, keepdims=True)
+    do = _ln_bwd_dx(dy * gpost, ohat, rstd_o)          # (BN, C) f32
+    dbout_ref[:] += jnp.sum(do, axis=0, keepdims=True)
+    dwout_ref[:] += jax.lax.dot_general(
+        attn, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dattn = jax.lax.dot_general(
+        do.astype(cdt), wout_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (BN, hd)
+    dctx_ref[0] += jax.lax.dot_general(
+        qp32, dattn, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # d(ctx/N), (hd, hd)
+    dqp = jax.lax.dot_general(
+        dattn, ctxn, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # softmax bwd with the d^-0.5 scale folded into the cotangent
+    t = dqp * scale
+    rowdot = jax.lax.dot_general(
+        sq * t, sel_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rb = jax.lax.dot_general(
+        rowdot, sel_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq = sq * (t - rb)
+    dwq_ref[:] += jax.lax.dot_general(
+        ln.astype(jnp.float32), dq, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dlnq = jax.lax.dot_general(
+        dq.astype(cdt), wq_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (BN, C)
+    dgpre_ref[:] += jnp.sum(dlnq * xhat, axis=0, keepdims=True)
+    dxq = _ln_bwd_dx(dlnq * gpre, xhat, rstd)
+    dx_ref[0] = (dy + dxq).astype(dx_ref.dtype)
+
+
+def _recompute_kprime(x_ref, gpre_ref, wkv_ref, m_ref, s_ref, *,
+                      nb, block_n: int, n_total: int, hd: int, cdt):
+    """Shared A'-pass recompute: (xhat, rstd, ln, k', v) for one block."""
+    xhat, rstd = _ln_fwd32(x_ref[0])
+    ln = (xhat * gpre_ref[0]).astype(cdt)
+    kv = jax.lax.dot_general(
+        ln, wkv_ref[:].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    k = kv[:, :hd]
+    v = kv[:, hd:]
+    row = nb * block_n + jax.lax.broadcasted_iota(
+        jnp.int32, (block_n, hd), dimension=0
+    )
+    valid = row < n_total
+    k = jnp.where(valid, k, -1e30)
+    v = jnp.where(valid, v, 0.0)
+    kp = jnp.exp(k - m_ref[0]) / s_ref[0]   # exp underflows to 0 when invalid
+    return xhat, rstd, ln, kp, v
+
+
+def _headmask(dctx: Array, dim: int) -> Array:
+    """Zero the cross-head entries of a flat (hd, hd) ctx cotangent: the
+    forward masked ctx to per-head block-diagonal, so cross-head cotangent
+    entries are gradients of unused values."""
+    hd = dctx.shape[-1]
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim
+    return jnp.where(hrow == hcol, dctx, 0.0)
+
+
+def _bwd_kv1_kernel(x_ref, gpre_ref, wkv_ref, m_ref, s_ref, dctx_ref,
+                    sdot_ref, *, dim: int, n_total: int, block_n: int,
+                    cdt=jnp.bfloat16):
+    """Pass A'1: accumulate the k-softmax global coupling
+    sdot[c] = sum_n k'[n,c] * dk'[n,c] (the softmax-over-N backward needs it
+    complete before any per-block dk can be formed)."""
+    nb = pl.program_id(1)
+    hd = m_ref.shape[-1]
+
+    @pl.when(nb == 0)
+    def _():
+        sdot_ref[:] = jnp.zeros_like(sdot_ref)
+
+    _, _, _, kp, v = _recompute_kprime(
+        x_ref, gpre_ref, wkv_ref, m_ref, s_ref,
+        nb=nb, block_n=block_n, n_total=n_total, hd=hd, cdt=cdt,
+    )
+    dctx = _headmask(dctx_ref[0], dim)
+    dkp = jax.lax.dot_general(
+        v / float(n_total), dctx, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (BN, hd)
+    sdot_ref[0] += jnp.sum(kp * dkp, axis=0, keepdims=True)
+
+
+def _bwd_kv2_kernel(x_ref, gpre_ref, wkv_ref, m_ref, s_ref, dctx_ref,
+                    sdot_ref, dx_ref, dwkv_ref, dgpre_ref, *, dim: int,
+                    n_total: int, block_n: int, cdt=jnp.bfloat16):
+    """Pass A'2: k/v-path backward per block given the completed sdot."""
+    b = pl.program_id(0)
+    nb = pl.program_id(1)
+    hd = m_ref.shape[-1]
+
+    @pl.when(jnp.logical_and(b == 0, nb == 0))
+    def _():
+        dwkv_ref[:] = jnp.zeros_like(dwkv_ref)
+        dgpre_ref[:] = jnp.zeros_like(dgpre_ref)
+
+    gpre = gpre_ref[0]
+    xhat, rstd, ln, kp, v = _recompute_kprime(
+        x_ref, gpre_ref, wkv_ref, m_ref, s_ref,
+        nb=nb, block_n=block_n, n_total=n_total, hd=hd, cdt=cdt,
+    )
+    dctx = _headmask(dctx_ref[0], dim)
+    dkp = jax.lax.dot_general(
+        v / float(n_total), dctx, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # softmax-over-N backward; k'[n] == 0 exactly on padded rows -> dk == 0
+    dk = kp * (dkp - sdot_ref[0])
+    dv = jax.lax.dot_general(
+        kp, dctx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / float(n_total)
+    dkv = jnp.concatenate([dk, dv], axis=1)             # (BN, 2hd)
+    dwkv_ref[:] += jax.lax.dot_general(
+        ln.astype(jnp.float32), dkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dlnkv = jax.lax.dot_general(
+        dkv.astype(cdt), wkv_ref[:].astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (BN, C)
+    dgpre_ref[:] += jnp.sum(dlnkv * xhat, axis=0, keepdims=True)
+    dx_ref[0] = _ln_bwd_dx(dlnkv * gpre, xhat, rstd).astype(dx_ref.dtype)
+
+
+def _bwd_block_n(N: int, C: int) -> int:
+    """VMEM-bounded N-block: ~10 live (BN, C) fp32 arrays must fit.
+    C=128 at 2048 measured marginally faster than 1024; 4096 OOMs."""
+    cap = 2048 if C <= 128 else (1024 if C <= 256 else 512)
+    return min(cap, max(128, 1 << (N - 1).bit_length()))
+
+
+def _fused_block_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_post,
+                            ctx, m, s, dy, heads, dim,
+                            compute_dtype=jnp.bfloat16):
+    """Three-launch fused backward; see module docstring."""
+    B, N, C = x.shape
+    hd = heads * dim
+    block_n = _bwd_block_n(N, C)
+    nb = -(-N // block_n)
+    pad = nb * block_n - N
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        dy = jnp.pad(dy, ((0, 0), (0, pad), (0, 0)))
+    Np = nb * block_n
+
+    g_pre2 = g_pre.reshape(1, C).astype(jnp.float32)
+    g_post2 = g_post.reshape(1, C).astype(jnp.float32)
+    b_out2 = b_out.reshape(1, C).astype(jnp.float32)
+    w_q = w_qkv[:, :hd].astype(jnp.float32)
+    w_kv = w_qkv[:, hd:].astype(jnp.float32)
+    w_out32 = w_out.astype(jnp.float32)
+    sel = _head_selector(heads, dim)
+    leaders = (jnp.arange(hd) % dim == 0)[:, None]
+    lsel = jnp.where(leaders, sel, 0.0)
+
+    _xspec = pl.BlockSpec((1, block_n, C), lambda b, n: (b, n, 0),
+                          memory_space=pltpu.VMEM)
+    _cgain = pl.BlockSpec((1, C), lambda b, n: (0, 0),
+                          memory_space=pltpu.VMEM)
+    _ctxspec = pl.BlockSpec((1, hd, hd), lambda b, n: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    _msspec = pl.BlockSpec((1, 1, hd), lambda b, n: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dxq, dctx, dwq, dwout, dbout, dgpre_q, dgpost = pl.pallas_call(
+        functools.partial(_bwd_q_kernel, dim=dim, n_total=N,
+                          cdt=compute_dtype),
+        grid=(B, nb),
+        in_specs=[
+            _xspec, _xspec, _cgain,
+            pl.BlockSpec((C, hd), lambda b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _ctxspec,
+            pl.BlockSpec((hd, heads), lambda b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, heads), lambda b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, C), lambda b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _cgain, _cgain,
+        ],
+        out_specs=[
+            _xspec,
+            _ctxspec,
+            pl.BlockSpec((C, hd), lambda b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, C), lambda b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _cgain, _cgain, _cgain,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, C), x.dtype),
+            jax.ShapeDtypeStruct((B, hd, hd), jnp.float32),
+            jax.ShapeDtypeStruct((C, hd), jnp.float32),
+            jax.ShapeDtypeStruct((hd, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+    )(x, dy, g_pre2, w_q, ctx, sel, lsel, w_out32, b_out2, g_post2)
+
+    kv_in_specs = [
+        _xspec, _cgain,
+        pl.BlockSpec((C, 2 * hd), lambda b, n: (0, 0),
+                     memory_space=pltpu.VMEM),
+        _msspec, _msspec, _ctxspec,
+    ]
+    sdot = pl.pallas_call(
+        functools.partial(_bwd_kv1_kernel, dim=dim, n_total=N,
+                          block_n=block_n, cdt=compute_dtype),
+        grid=(B, nb),
+        in_specs=kv_in_specs,
+        out_specs=_msspec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, hd), jnp.float32),
+    )(x, g_pre2, w_kv, m, s, dctx)
+
+    dxkv, dwkv, dgpre_kv = pl.pallas_call(
+        functools.partial(_bwd_kv2_kernel, dim=dim, n_total=N,
+                          block_n=block_n, cdt=compute_dtype),
+        grid=(B, nb),
+        in_specs=kv_in_specs + [_msspec],
+        out_specs=[
+            _xspec,
+            pl.BlockSpec((C, 2 * hd), lambda b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _cgain,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, C), x.dtype),
+            jax.ShapeDtypeStruct((C, 2 * hd), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+    )(x, g_pre2, w_kv, m, s, dctx, sdot)
+
+    dx = (dxq[:, :N] + dxkv[:, :N]).astype(x.dtype)
+    dw_qkv = jnp.concatenate([dwq, dwkv], axis=1).astype(w_qkv.dtype)
+    dg_pre = (dgpre_q + dgpre_kv).reshape(C).astype(g_pre.dtype)
+    dw_out = dwout.astype(w_out.dtype)
+    db_out = dbout.reshape(C).astype(b_out.dtype)
+    dg_post = dgpost.reshape(C).astype(g_post.dtype)
+    return dx, dg_pre, dw_qkv, dw_out, db_out, dg_post
 
 
 # ------------------------------------------------------------- public API
+def _use_pallas(heads, dim):
+    backend = os.environ.get("OFD_ATTN_FUSED", "1")
+    on_tpu = jax.devices()[0].platform != "cpu"
+    return backend == "1" and heads * dim == LANES and on_tpu
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_linear_attention_block(
     x: Array, g_pre: Array, w_qkv: Array, w_out: Array, b_out: Array,
@@ -244,23 +634,39 @@ def fused_linear_attention_block(
 
 
 def _dispatch(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim):
-    backend = os.environ.get("OFD_ATTN_FUSED", "1")
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if backend == "1" and heads * dim == LANES and on_tpu:
-        return _fused_block_pallas(
+    if _use_pallas(heads, dim):
+        y, _ = _fused_block_pallas(
             x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim
         )
+        return y
     return _block_xla(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim,
                       compute_dtype=x.dtype)
 
 
 def _fwd(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim):
-    out = _dispatch(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim)
-    return out, (x, g_pre, w_qkv, w_out, b_out, g_post)
+    if _use_pallas(heads, dim):
+        y, (ctx, m, s) = _fused_block_pallas(
+            x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim
+        )
+        # fused bwd wins on large-N shapes (1.5x at N>=8k, 1.09x at N=1024,
+        # debug/bench_attn_bwd.py); at small N the XLA recompute VJP's
+        # fusion is already fine, so fall back there.
+        fused_bwd = (os.environ.get("OFD_ATTN_FUSED_BWD", "1") == "1"
+                     and x.shape[1] >= 1024)
+        extra = (ctx, m, s) if fused_bwd else None
+        return y, (x, g_pre, w_qkv, w_out, b_out, g_post, extra)
+    y = _block_xla(x, g_pre, w_qkv, w_out, b_out, g_post, heads, dim,
+                   compute_dtype=x.dtype)
+    return y, (x, g_pre, w_qkv, w_out, b_out, g_post, None)
 
 
 def _bwd(heads, dim, res, g):
-    x, g_pre, w_qkv, w_out, b_out, g_post = res
+    x, g_pre, w_qkv, w_out, b_out, g_post, extra = res
+    if extra is not None:
+        ctx, m, s = extra
+        return _fused_block_bwd_pallas(
+            x, g_pre, w_qkv, w_out, b_out, g_post, ctx, m, s, g, heads, dim
+        )
     _, vjp = jax.vjp(
         lambda *a: _block_xla(*a, heads, dim, compute_dtype=x.dtype),
         x, g_pre, w_qkv, w_out, b_out, g_post,

@@ -49,10 +49,10 @@ def test_fused_block_matches_xla_interpret(rng):
             got = np.asarray(
                 af._fused_block_pallas(
                     x, *p, 4, 32, block_n=128, compute_dtype=jnp.float32
-                )
+                )[0]
             )
             got_bf16 = np.asarray(
-                af._fused_block_pallas(x, *p, 4, 32, block_n=128)
+                af._fused_block_pallas(x, *p, 4, 32, block_n=128)[0]
             )
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
         # production bf16 operands: same result within bf16 rounding
@@ -76,6 +76,61 @@ def test_fused_block_vjp_matches_xla_grad(rng):
 
     g1 = jax.grad(loss_custom, argnums=(0, 1, 2, 3, 4, 5))(x, *p)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(x, *p)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fused_block_bwd_pallas_matches_xla_grad(rng):
+    """The three-launch fused backward (interpret mode, f32 compute) ==
+    jax.vjp of the XLA composition, for all six inputs.  N=200 exercises
+    padded blocks in the backward; C=64 exercises C != lane width."""
+    from opticalflowdiffusion_tpu.ops import attention_fused as af
+
+    B, N, C = 2, 200, 64
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    p = _block_params(rng, C)
+    dy = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda *a: af._block_xla(*a, 4, 32, compute_dtype=jnp.float32), x, *p
+    )
+    want = vjp(dy)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, (ctx, m, s) = af._fused_block_pallas(
+            x, *p, 4, 32, block_n=128, compute_dtype=jnp.float32
+        )
+        got = af._fused_block_bwd_pallas(
+            x, *p, ctx, m, s, dy, 4, 32, compute_dtype=jnp.float32
+        )
+
+    names = ("dx", "dg_pre", "dw_qkv", "dw_out", "db_out", "dg_post")
+    for name, a, b in zip(names, got, want):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=2e-4 * scale,
+                                   err_msg=name)
+
+
+def test_fused_block_bwd_wiring_cpu_fallback(rng):
+    """On CPU the custom VJP must take the XLA-recompute path (extra=None)
+    and still produce reference gradients through the public API."""
+    from opticalflowdiffusion_tpu.ops import attention_fused as af
+
+    B, N, C = 1, 48, 32
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    p = _block_params(rng, C)
+
+    def loss(x, *p):
+        return jnp.sum(jnp.square(af.fused_linear_attention_block(x, *p, 4, 32)))
+
+    def loss_ref(x, *p):
+        return jnp.sum(jnp.square(af._block_xla(x, *p, 4, 32,
+                                                compute_dtype=x.dtype)))
+
+    g1 = jax.grad(loss, argnums=tuple(range(6)))(x, *p)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(6)))(x, *p)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
