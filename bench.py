@@ -173,6 +173,49 @@ def _video_train_samples_per_sec(precision: str, image_size: int = 256,
     return batch / dt
 
 
+def _flow_learner_train_samples_per_sec(image_size: int = 128, batch: int = 16,
+                                        steps: int = 6) -> float:
+    """Unsupervised FlowLearner full train step (UNet + phase-interleaved
+    photometric pyramid, ops/pyramid.py) samples/sec.  Per-step host sync:
+    deep async enqueue through the device tunnel serializes with multi-second
+    queue latency and would inflate the measurement ~10x."""
+    import jax
+    import numpy as np
+
+    from opticalflowdiffusion_tpu.algorithms.flow_learner import FlowLearner
+    from opticalflowdiffusion_tpu.config import compose
+    from opticalflowdiffusion_tpu.parallel import mesh as meshlib
+    from opticalflowdiffusion_tpu.parallel.train import make_train_step
+
+    cfg = compose([
+        "experiment=matrix_flow",
+        "dataset=artificial",
+        "algorithm=flow_learner",
+        f"algorithm.image_size={image_size}",
+    ])
+    algo = FlowLearner(cfg.algorithm)
+    rng = np.random.default_rng(0)
+    batch_np = tuple(
+        rng.standard_normal((batch, image_size, image_size, c)).astype("float32")
+        for c in (3, 3, 2)
+    )
+    mesh = meshlib.make_mesh()
+    key = jax.random.PRNGKey(0)
+    state = algo.init(key, batch_np, clip=100)
+    step = make_train_step(algo.loss_fn, mesh)
+    gbatch = meshlib.shard_batch(mesh, batch_np)
+    state, m = step(state, gbatch, key)
+    float(m["train/loss"])
+    best = float("inf")
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, m = step(state, gbatch, sub)
+        float(m["train/loss"])
+        best = min(best, time.perf_counter() - t0)
+    return batch / best
+
+
 def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
                                 ddim_steps: int = 50) -> float:
     """Full-res Sintel (512x256) DDIM few-step sampling frames/sec."""
@@ -268,6 +311,12 @@ def main():
             )
         except Exception as e:
             extra["video256_train_samples_per_sec_error"] = repr(e)[:200]
+        try:
+            extra["flow_learner_train_samples_per_sec"] = round(
+                _flow_learner_train_samples_per_sec(), 2
+            )
+        except Exception as e:
+            extra["flow_learner_train_samples_per_sec_error"] = repr(e)[:200]
 
     print(
         json.dumps(
