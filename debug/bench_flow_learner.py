@@ -7,7 +7,7 @@ decomposition (ops/pyramid.py) does each level's whole offset family as ONE
 MXU contraction.  This script measures the full train step (loss + grads +
 Adam) both ways on the default device.
 
-Usage: python debug/bench_flow_learner.py [image_size] [batch]
+Usage: python debug/bench_flow_learner.py [image_size] [batch] [precision]
 Env:   OFD_PYRAMID=map to force the old path.
 """
 
@@ -18,7 +18,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def run(image_size: int, batch: int, steps: int = 5) -> float:
+def run(image_size: int, batch: int, steps: int = 5,
+        precision: str = "float32") -> float:
     import jax
     import numpy as np
 
@@ -32,6 +33,7 @@ def run(image_size: int, batch: int, steps: int = 5) -> float:
         "dataset=artificial",
         "algorithm=flow_learner",
         f"algorithm.image_size={image_size}",
+        f"+algorithm._precision={precision}",
     ])
     algo = FlowLearner(cfg.algorithm)
     rng = np.random.default_rng(0)
@@ -65,8 +67,9 @@ def run(image_size: int, batch: int, steps: int = 5) -> float:
 if __name__ == "__main__":
     image_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    sps = run(image_size, batch)
+    precision = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    sps = run(image_size, batch, precision=precision)
     import os
     mode = os.environ.get("OFD_PYRAMID", "phase")
-    print(f"flow_learner train {image_size}^2 b{batch} [{mode}]: "
+    print(f"flow_learner train {image_size}^2 b{batch} {precision} [{mode}]: "
           f"{sps:.2f} steps/s = {sps * batch:.1f} samples/s")

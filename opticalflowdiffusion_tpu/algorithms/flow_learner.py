@@ -140,7 +140,14 @@ class FlowLearner(Algorithm):
             packed = None
 
         img = cond[..., :3]
-        loss = photometric_pyramid_loss(img, tgt, flow_pred, weights, self.levels)
+        # compute dtype applies to the photometric pyramid too (the splat
+        # contraction precision keys off the value dtype — ops/pyramid.py):
+        # bf16 under runtime.precision=bf16, exactly like the flagship's
+        # in-model splat; f32 (reference-grade, exact 6-pass MXU) by default.
+        loss = photometric_pyramid_loss(
+            img.astype(self.dtype), tgt.astype(self.dtype),
+            flow_pred, weights, self.levels,
+        )
         loss = loss + 0.01 * edgeaware_smoothness1(img, flow_pred)
 
         if packed is not None:

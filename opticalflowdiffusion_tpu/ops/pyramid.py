@@ -37,6 +37,7 @@ from .splat import (
     _ingrad_transform_x,
     _ingrad_transform_y,
     _target_coords,
+    contraction_precision,
     softsplat,
 )
 from .warp import fill_holes_nan, nan_charbonnier
@@ -99,14 +100,7 @@ def _phase_splat_fwd_impl(inp, flow, level):
     ty = _phase_t(_fwd_transform, fyf, H, level)
     v = inp.reshape(B, N, C)
 
-    env = os.environ.get("OFD_SPLAT_PRECISION")
-    if env == "default":
-        mprec = jax.lax.Precision.DEFAULT
-    elif env == "highest":
-        mprec = jax.lax.Precision.HIGHEST
-    else:
-        mprec = (jax.lax.Precision.DEFAULT if orig_dtype == jnp.bfloat16
-                 else jax.lax.Precision.HIGHEST)
+    mprec = contraction_precision(orig_dtype == jnp.bfloat16)
 
     chunk = min(N, 16384 // max(1, level // 4))
     nchunks = -(-N // chunk)
@@ -165,17 +159,8 @@ def _phase_splat_bwd(level, res, g):
     fxf = jnp.where(finite, fx, -10.0).reshape(B, N)
     fyf = jnp.where(finite, fy, -10.0).reshape(B, N)
     v = inp32.reshape(B, N, C)
-    # same contraction-precision policy as the forward: exact-grade f32
-    # emulation unless the caller's values arrived bf16 (or env override);
-    # reference grads are f32 CUDA, so f32 callers stay exact.
-    env = os.environ.get("OFD_SPLAT_PRECISION")
-    if env == "default":
-        hp = jax.lax.Precision.DEFAULT
-    elif env == "highest":
-        hp = jax.lax.Precision.HIGHEST
-    else:
-        hp = (jax.lax.Precision.DEFAULT if inp.dtype == jnp.bfloat16
-              else jax.lax.Precision.HIGHEST)
+    # same contraction-precision policy as the forward (splat.py helper)
+    hp = contraction_precision(inp.dtype == jnp.bfloat16)
 
     txi = _phase_t(_ingrad_transform_x, fxf, W, level)
     tyi = _phase_t(_ingrad_transform_y, fyf, H, level)

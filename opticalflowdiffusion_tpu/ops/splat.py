@@ -153,6 +153,25 @@ def _corners(fx: Array, fy: Array):
     )
 
 
+def contraction_precision(fast: bool):
+    """MXU contraction precision for the splat family (splat.py/pyramid.py).
+
+    ``fast`` = the caller's values arrived bf16 (the model compute dtype
+    under runtime.precision=bf16) *before* the reference-parity f32
+    accumulation cast: single-pass MXU rate, ~1e-3 relative error (measured
+    +41% full-res sampling throughput).  f32 callers keep the exact-grade
+    6-pass HIGHEST f32 emulation — reference grads are f32 CUDA, so tests
+    and parity oracles stay exact.  OFD_SPLAT_PRECISION={default,highest}
+    overrides both ways.
+    """
+    env = os.environ.get("OFD_SPLAT_PRECISION")
+    if env == "default":
+        return jax.lax.Precision.DEFAULT
+    if env == "highest":
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _splat_core(inp: Array, flow: Array, scale: int, offset_x, offset_y) -> Array:
     return _splat_fwd_impl(inp, flow, scale, offset_x, offset_y)
@@ -302,22 +321,7 @@ def _matmul_scatter(inp, tx, ty, finite, Ho, Wo, chunk=16384, fast=False):
     nchunks = max(1, -(-N // chunk))
     pad = nchunks * chunk - N
 
-    # Contraction precision follows the caller's ORIGINAL value dtype
-    # (``fast``: values arrived bf16 — the model compute dtype under
-    # runtime.precision=bf16 — before the reference-parity f32 accumulation
-    # cast): single-pass MXU rate, ~1e-3 relative error, measured +41%
-    # full-res sampling throughput.  f32 callers keep the exact-grade
-    # 6-pass HIGHEST.  OFD_SPLAT_PRECISION={default,highest} overrides.
-    env = os.environ.get("OFD_SPLAT_PRECISION")
-    if env == "default":
-        mprec = jax.lax.Precision.DEFAULT
-    elif env == "highest":
-        mprec = jax.lax.Precision.HIGHEST
-    else:
-        mprec = (
-            jax.lax.Precision.DEFAULT if fast
-            else jax.lax.Precision.HIGHEST
-        )
+    mprec = contraction_precision(fast)
 
     def build(ix, frac, grid):
         # (B, n, G) weight matrix: (1-frac) at ix, frac at ix+1
@@ -435,7 +439,9 @@ def _splat_bwd_matmul(scale, res, g):
 
     cols = jnp.arange(Wo, dtype=jnp.int32)
     rows = jnp.arange(Ho, dtype=jnp.int32)
-    hp = jax.lax.Precision.HIGHEST
+    # dtype-driven like the forward: bf16 callers (runtime.precision=bf16
+    # train steps) get the single-pass MXU rate in the backward too
+    hp = contraction_precision(inp.dtype == jnp.bfloat16)
 
     tx_i = _ingrad_transform_x(fxf, W, scale, offset_x)
     ty_i = _ingrad_transform_y(fyf, H, scale, offset_y)

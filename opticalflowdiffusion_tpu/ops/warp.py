@@ -246,7 +246,9 @@ def nan_mse_stats(pred: Array, target: Array) -> Tuple[Array, Array]:
     equivalent and jit-safe.
     """
     mask = _finite_pair_mask(pred, target)
-    diff = jnp.where(mask, pred - target, 0.0)
+    # reduction in f32 always: a bf16 sum over H*W terms loses ~half the
+    # mantissa to accumulation error (bf16 values are fine, bf16 sums are not)
+    diff = jnp.where(mask, pred - target, 0.0).astype(jnp.float32)
     return jnp.sum(jnp.square(diff)), jnp.sum(mask)
 
 
@@ -260,8 +262,10 @@ def charbonnier(x: Array, alpha: float = 0.5, eps: float = 1e-3) -> Array:
 
 
 def nan_charbonnier(pred: Array, target: Array) -> Array:
+    # reductions in f32 always: a bf16 sum over H*W terms loses ~half the
+    # mantissa to accumulation error (bf16 values are fine, bf16 sums are not)
     mask = _finite_pair_mask(pred, target)
-    diff = jnp.where(mask, pred - target, 0.0)
+    diff = jnp.where(mask, pred - target, 0.0).astype(jnp.float32)
     val = jnp.sum(jnp.where(mask, charbonnier(diff), 0.0))
     return val / jnp.maximum(jnp.sum(mask), 1)
 
@@ -273,6 +277,9 @@ def fill_holes_nan(img: Array, weights: Array) -> Array:
 
 def edgeaware_smoothness1(image: Array, flow: Array, edge_weight: float = 30.0) -> Array:
     """Edge-aware first-order smoothness (reference warp.py:289-303)."""
+    # f32 throughout: tiny op, and bf16 means/exps here would add pure noise
+    image = image.astype(jnp.float32)
+    flow = flow.astype(jnp.float32)
     img_gy = image[:, 1:, :, :] - image[:, :-1, :, :]
     img_gx = image[:, :, 1:, :] - image[:, :, :-1, :]
     flo_gy = flow[:, 1:, :, :] - flow[:, :-1, :, :]

@@ -318,56 +318,65 @@ def run_parity(
         )
 
     # ----------------------------------------------------------- FlowLearner
-    if "learner" not in stages:
+    def learner_run(key: str, rseed: int, extra: list = ()):
+        label = key.removeprefix("flow_learner") or " (f32)"
+        print(f"[parity] FlowLearner (unsupervised photometric{label})")
+        cfg = compose(common + [
+            "algorithm=flow_learner",
+            "algorithm.flow_max=2",
+            "algorithm.lr=2e-4",
+            *extra,
+        ])
+        train_loader, val_loader = loaders(cfg)
+        algo = FlowLearner(cfg.algorithm)
+        rng = jax.random.PRNGKey(rseed)
+        val_step = make_eval_step(algo.val_step, mesh)
+        state0 = algo.init(rng, next(iter(train_loader)), clip=100)
+        init_metrics, _, _ = _eval(algo, state0, val_loader, rng, n_batches=2,
+                                   val_step=val_step)
+        del state0
+
+        state, curve, perf = _train(
+            algo, train_loader, mesh, rng, learner_steps, clip=100
+        )
+        final_metrics, arts, batch0 = _eval(algo, state, val_loader, rng,
+                                            val_step=val_step)
+        visuals = _save_visuals(algo, batch0, arts, out, key)
+
+        # params-independent photometric-loss oracles under the reference
+        # objective (the reference's own ideal-loss idiom, SURVEY.md §4.5):
+        # what loss would gt / zero / negated flow get with uniform weights?
+        import jax.numpy as jnp
+
+        tgt_o, cond_o, flow_o = algo.preprocess(rng, batch0, aug=False)
+        oracle_fn = jax.jit(
+            lambda ov: algo.loss(state.params, tgt_o, cond_o, flow_o,
+                                 override_flow=ov)
+        )
+        oracles = dict(
+            gt_flow=float(oracle_fn(flow_o)),
+            zero_flow=float(oracle_fn(jnp.zeros_like(flow_o))),
+            negated_gt=float(oracle_fn(-flow_o)),
+        )
+        results[key] = dict(
+            steps=learner_steps, init=init_metrics, final=final_metrics,
+            loss_curve=curve, perf=perf, visuals=visuals,
+            loss_oracles=oracles,
+        )
+        print(f"[parity] {key}: {json.dumps(final_metrics)} "
+              f"(init epe {init_metrics.get('val/epe'):.3f})")
+        del state
         with open(out / "parity_r02.json", "w") as fh:
             json.dump(results, fh, indent=1)
-        _write_report(out, results)
-        return results
 
-    print("[parity] FlowLearner (unsupervised photometric)")
-    cfg = compose(common + [
-        "algorithm=flow_learner",
-        "algorithm.flow_max=2",
-        "algorithm.lr=2e-4",
-    ])
-    train_loader, val_loader = loaders(cfg)
-    algo = FlowLearner(cfg.algorithm)
-    rng = jax.random.PRNGKey(seed + 1)
-    val_step = make_eval_step(algo.val_step, mesh)
-    state0 = algo.init(rng, next(iter(train_loader)), clip=100)
-    init_metrics, _, _ = _eval(algo, state0, val_loader, rng, n_batches=2,
-                               val_step=val_step)
-    del state0
-
-    state, curve, perf = _train(
-        algo, train_loader, mesh, rng, learner_steps, clip=100
-    )
-    final_metrics, arts, batch0 = _eval(algo, state, val_loader, rng,
-                                        val_step=val_step)
-    visuals = _save_visuals(algo, batch0, arts, out, "flow_learner")
-
-    # params-independent photometric-loss oracles under the reference
-    # objective (the reference's own ideal-loss idiom, SURVEY.md §4.5):
-    # what loss would gt / zero / negated flow get with uniform weights?
-    import jax.numpy as jnp
-
-    tgt_o, cond_o, flow_o = algo.preprocess(rng, batch0, aug=False)
-    oracle_fn = jax.jit(
-        lambda ov: algo.loss(state.params, tgt_o, cond_o, flow_o,
-                             override_flow=ov)
-    )
-    oracles = dict(
-        gt_flow=float(oracle_fn(flow_o)),
-        zero_flow=float(oracle_fn(jnp.zeros_like(flow_o))),
-        negated_gt=float(oracle_fn(-flow_o)),
-    )
-    results["flow_learner"] = dict(
-        steps=learner_steps, init=init_metrics, final=final_metrics,
-        loss_curve=curve, perf=perf, visuals=visuals,
-        loss_oracles=oracles,
-    )
-    print(f"[parity] flow_learner: {json.dumps(final_metrics)} "
-          f"(init epe {init_metrics.get('val/epe'):.3f})")
+    if "learner" in stages:
+        learner_run("flow_learner", seed + 1)
+    if "learner_bf16" in stages:
+        # production-precision variant: bf16 UNet AND bf16 single-pass
+        # pyramid splat contraction (ops/pyramid.py dtype-driven precision);
+        # evidences that the fast path trains to the same quality as f32
+        learner_run("flow_learner_bf16", seed + 1,
+                    extra=["+algorithm._precision=bf16"])
 
     with open(out / "parity_r02.json", "w") as fh:
         json.dump(results, fh, indent=1)
@@ -376,7 +385,11 @@ def run_parity(
 
 
 def _write_report(out: Path, r: dict) -> None:
-    fd, fl = r["flow_diffuser"], r["flow_learner"]
+    fd, fl = r.get("flow_diffuser"), r.get("flow_learner")
+    if fd is None:
+        # partial (non-merge) run without the flagship stage: keep the raw
+        # json, skip the prose report rather than crash
+        return
     fdf = r.get("flow_diffuser_flow")
 
     def row(name, d):
@@ -402,7 +415,11 @@ def _write_report(out: Path, r: dict) -> None:
                         r["flow_diffuser_ancestral"]))
     if r.get("flow_diffuser_latent") is not None:
         rows.append(row("FlowDiffuser (latent joint)", r["flow_diffuser_latent"]))
-    rows.append(row("FlowLearner (unsup.)", fl))
+    if fl is not None:
+        rows.append(row("FlowLearner (unsup.)", fl))
+    if r.get("flow_learner_bf16") is not None:
+        rows.append(row("FlowLearner (unsup., bf16 pipeline)",
+                        r["flow_learner_bf16"]))
     table = "\n".join(rows)
 
     ae = r.get("ae_pretrain")
@@ -442,7 +459,11 @@ def _write_report(out: Path, r: dict) -> None:
     if r.get("flow_diffuser_latent") is not None:
         dist_rows.append(
             dist_row("FlowDiffuser (latent joint)", r["flow_diffuser_latent"]))
-    dist_rows.append(dist_row("FlowLearner (unsup.)", fl))
+    if fl is not None:
+        dist_rows.append(dist_row("FlowLearner (unsup.)", fl))
+    if r.get("flow_learner_bf16") is not None:
+        dist_rows.append(dist_row("FlowLearner (unsup., bf16 pipeline)",
+                                  r["flow_learner_bf16"]))
     dist_table = "\n".join(dist_rows)
     dist_block = f"""## Sample-distribution parity (BASELINE.md fidelity target)
 
@@ -558,7 +579,8 @@ def main():
     ap.add_argument("--no-latent", action="store_true")
     ap.add_argument("--ae-steps", type=int, default=3000)
     ap.add_argument("--stages", default="joint,flow,flowloss,latent,learner",
-                    help="comma list of joint,flow,latent,learner")
+                    help="comma list of joint,flow,flowloss,ancestral,latent,"
+                         "learner,learner_bf16")
     ap.add_argument("--merge", action="store_true",
                     help="merge onto an existing parity_r02.json")
     ap.add_argument("--report-only", action="store_true",
