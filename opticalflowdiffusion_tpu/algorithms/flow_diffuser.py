@@ -57,11 +57,14 @@ class UnetWithWarp(nn.Module):
     zero_init: bool = True
     time_in: bool = True
     out_dim: int = 2
+    # UNet width; 64 = reference-exact (flow_diffuser.py:106).  Config knob
+    # ``algorithm.unet_dim`` for small smoke/test models.
+    unet_dim: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.model = Unet(
-            64,
+            self.unet_dim,
             channels=self.channels,
             out_dim=self.out_dim,
             time_in=self.time_in,
@@ -142,6 +145,7 @@ class FlowDiffuser(Algorithm):
             self.channels = 2                 # flow only
 
         unet_in = self.dim + unet_dims * int(self.is_diffusion)
+        unet_dim = int(cfg.get("unet_dim", 64))
         self.module = UnetWithWarp(
             flow_max=self.flow_max,
             dim=self.dim,
@@ -150,12 +154,13 @@ class FlowDiffuser(Algorithm):
             nan_safe=self.target in ("target", "joint"),
             zero_init=bool(cfg.get("zero_init", True)),
             time_in=self.is_diffusion,
+            unet_dim=unet_dim,
             dtype=self.dtype,
         )
         self._plain_unet = self.target not in ("target", "joint")
         if self._plain_unet:
             self.module = Unet(
-                64, channels=unet_in, out_dim=2,
+                unet_dim, channels=unet_in, out_dim=2,
                 time_in=self.is_diffusion,
                 zero_init_final=bool(cfg.get("zero_init", True)),
                 dtype=self.dtype,

@@ -79,10 +79,13 @@ def test_flow_learner_unsupervised_loss_decreases():
                       weight_decay=1e-6, zero_init=False, train_aug=False,
                       levels=[1, 2]))
     algo = FlowLearner(cfg)
-    mesh = meshlib.make_mesh()
+    # 1-device mesh: halves the per-epoch cost on a 1-core host (multi-device
+    # DP == single-device numerics is pinned separately in test_parallel.py),
+    # buying the longer window the chaotic basin-entry needs (below).
+    mesh = meshlib.make_mesh(devices=jax.devices()[:1])
     batch = next(iter(loader))
     key = jax.random.PRNGKey(0)
-    state = algo.init(key, batch, clip=100)
+    state = algo.init(jax.random.PRNGKey(0), batch, clip=100)
     step = make_train_step(algo.loss_fn, mesh)
 
     eval_batch = next(iter(loader))
@@ -90,14 +93,17 @@ def test_flow_learner_unsupervised_loss_decreases():
     eval_loss = jax.jit(lambda p: algo.loss_fn(p, eval_batch, eval_rng)[0])
     before = float(eval_loss(state.params))
 
-    # per-epoch tracking, asserted on the best point: the 96-step Adam
-    # trajectory on this objective is chaotic — f32 rounding differences
-    # across CPU ISAs alone flip the ENDPOINT (measured: phase-vs-map
-    # pyramid grads match to 8e-7, endpoints diverged 0.21 vs 0.58 on an
-    # avx512-only host) — but a decisive descent somewhere along the
-    # trajectory is machine-independent.  TPU sweep endpoint ratio: 0.067.
+    # per-epoch tracking asserted on the best point, over a 24-epoch window:
+    # this objective's trajectories wander/ascend for a chaotic number of
+    # epochs and then DROP sharply into the photometric basin (measured on
+    # an avx512-only 1-core host: 0.42 -> wander 0.44-0.84 -> 0.07 at epoch
+    # 5 (map path, 8-device mesh) vs epoch 13 (phase path, 1-device mesh) —
+    # f32 rounding differences alone reshuffle the drop epoch, since
+    # phase-vs-map grads agree to 8e-7 and the first step is bit-identical).
+    # The drop itself is machine-independent; its timing is not, so the
+    # window must be generous.  TPU sweep endpoint ratio: 0.067.
     evals = []
-    for epoch in range(12):
+    for epoch in range(24):
         for batch in loader:
             key, sub = jax.random.split(key)
             state, _ = step(state, meshlib.shard_batch(mesh, batch), sub)
