@@ -173,7 +173,8 @@ def _video_train_samples_per_sec(precision: str, image_size: int = 256,
     return batch / dt
 
 
-def _flow_learner_train_samples_per_sec(image_size: int = 128, batch: int = 16,
+def _flow_learner_train_samples_per_sec(precision: str = "float32",
+                                        image_size: int = 128, batch: int = 16,
                                         steps: int = 6) -> float:
     """Unsupervised FlowLearner full train step (UNet + phase-interleaved
     photometric pyramid, ops/pyramid.py) samples/sec.  Per-step host sync:
@@ -192,6 +193,7 @@ def _flow_learner_train_samples_per_sec(image_size: int = 128, batch: int = 16,
         "dataset=artificial",
         "algorithm=flow_learner",
         f"algorithm.image_size={image_size}",
+        f"+algorithm._precision={precision}",
     ])
     algo = FlowLearner(cfg.algorithm)
     rng = np.random.default_rng(0)
@@ -217,15 +219,18 @@ def _flow_learner_train_samples_per_sec(image_size: int = 128, batch: int = 16,
 
 
 def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
-                                ddim_steps: int = 50) -> float:
-    """Full-res Sintel (512x256) DDIM few-step sampling frames/sec."""
+                                ddim_steps: int = 50,
+                                H: int = 256, W: int = 512) -> float:
+    """Sintel DDIM few-step sampling frames/sec.  Default H, W is the
+    reference config resolution (dataset/sintel.yaml 512x256); pass
+    H=448, W=1024 for the native 1024x436 frame padded to the UNet's /8
+    divisibility (BASELINE.md "frames/sec (436x1024)" row)."""
     import jax
     import jax.numpy as jnp
 
     from opticalflowdiffusion_tpu.models import diffusion as dm
 
     algo = _make_algo(128, 1000, precision, sampling_timesteps=ddim_steps)
-    H, W = 256, 512
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, H, W, algo.channels), jnp.float32)
     cond = jnp.zeros((batch, H, W, 3), jnp.float32)
@@ -306,6 +311,16 @@ def main():
         except Exception as e:
             extra["sintel_ddim50_b8_frames_per_sec_error"] = repr(e)[:200]
         try:
+            extra["sintel_native_ddim50_frames_per_sec"] = round(
+                _sintel_ddim_frames_per_sec(
+                    precision,
+                    batch=int(os.environ.get("BENCH_SINTEL_NATIVE_BATCH", "2")),
+                    H=448, W=1024,
+                ), 3
+            )
+        except Exception as e:
+            extra["sintel_native_ddim50_frames_per_sec_error"] = repr(e)[:200]
+        try:
             extra["video256_train_samples_per_sec"] = round(
                 _video_train_samples_per_sec(precision), 2
             )
@@ -317,6 +332,12 @@ def main():
             )
         except Exception as e:
             extra["flow_learner_train_samples_per_sec_error"] = repr(e)[:200]
+        try:
+            extra["flow_learner_bf16_train_samples_per_sec"] = round(
+                _flow_learner_train_samples_per_sec(precision), 2
+            )
+        except Exception as e:
+            extra["flow_learner_bf16_train_samples_per_sec_error"] = repr(e)[:200]
 
     print(
         json.dumps(
