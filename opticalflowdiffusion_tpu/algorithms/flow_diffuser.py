@@ -89,9 +89,13 @@ class UnetWithWarp(nn.Module):
         additional_out: bool = False,
     ) -> Array:
         if self.nan_safe:
-            where_nan = jnp.isnan(x)
-            nan_ch = jnp.any(where_nan, axis=-1, keepdims=True).astype(x.dtype)
-            x = jnp.where(where_nan, 0.0, x)
+            # any(isnan(x), -1) expressed as a NaN-propagating max-reduce:
+            # exactly equivalent (XLA maximum returns NaN if either operand
+            # is), but an f32 reduce instead of a pred reduce — the pred
+            # form cost 13 ms/denoise-step at native-res Sintel from layout
+            # handling alone (PERF.md round-2 native profile)
+            nan_ch = jnp.isnan(jnp.max(x, axis=-1, keepdims=True)).astype(x.dtype)
+            x = jnp.where(jnp.isnan(x), 0.0, x)
             flow = self.model(
                 jnp.concatenate([x, nan_ch], axis=-1), external_cond, t, self_cond
             )

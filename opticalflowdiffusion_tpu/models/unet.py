@@ -71,6 +71,44 @@ class ChanLayerNorm(nn.Module):
         return out.astype(self.dtype)
 
 
+class GroupNorm(nn.Module):
+    """Drop-in fused GroupNorm (same params/math as flax nn.GroupNorm with
+    epsilon 1e-6, fast variance, f32 reductions; class name keeps the
+    ``GroupNorm_N`` checkpoint path).
+
+    Written so the f32 convert lives only inside the reduction fusions
+    (stats accumulate in f32 straight from bf16) and the normalize is one
+    x * a + b elementwise expression with per-channel a, b that XLA folds
+    together with the Block's time scale/shift + SiLU.  Measured parity
+    with the flax module on TPU (the flax path was already fusing its
+    f32 convert; this form simply guarantees the one-pass affine shape
+    and removes the module-boundary convert round-trip).
+    """
+
+    num_groups: int = 8
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        B = x.shape[0]
+        xg = x.reshape(B, -1, g, C // g)
+        x32 = xg.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=(1, 3))                     # (B, g)
+        mu2 = jnp.mean(jnp.square(x32), axis=(1, 3))
+        var = mu2 - jnp.square(mu)                          # fast variance
+        rstd = jax.lax.rsqrt(var + self.epsilon)            # (B, g)
+        # per-(batch, channel) affine: out = x * a + b
+        sc = scale.reshape(g, C // g)
+        bi = bias.reshape(g, C // g)
+        a = (rstd[..., None] * sc).reshape(B, 1, 1, C)
+        b = (bi - (mu * rstd)[..., None] * sc).reshape(B, 1, 1, C)
+        return x.astype(jnp.float32) * a + b
+
+
 class Block(nn.Module):
     """WSConv -> GroupNorm -> (scale, shift) -> SiLU (reference :172-188)."""
 
@@ -81,9 +119,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None):
         x = WSConv(self.dim_out, (3, 3), dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        ).astype(self.dtype)
+        x = GroupNorm(num_groups=self.groups)(x).astype(self.dtype)
         if scale_shift is not None:
             s, b = scale_shift
             x = x * (s + 1.0) + b
@@ -140,7 +176,13 @@ class LinearAttention(nn.Module):
 
 
 class Attention(nn.Module):
-    """Quadratic attention at the bottleneck (reference :246-268)."""
+    """Quadratic attention at the bottleneck (reference :246-268).
+
+    The sim/softmax/out middle dispatches through
+    ops/flash_attention.attention_middle: at large N a flash Pallas kernel
+    (online softmax, the O(N^2) sim matrix never leaves VMEM); the exact
+    XLA composition otherwise.
+    """
 
     heads: int = 4
     dim_head: int = 32
@@ -148,15 +190,15 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from ..ops.flash_attention import attention_middle
+
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
         qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = q * (self.dim_head ** -0.5)
-        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = attention_middle(q, k, v)
         out = out.reshape(B, H, W, hidden)
         return nn.Conv(C, (1, 1), dtype=self.dtype)(out)
 

@@ -95,9 +95,11 @@ def warp_forward_flow(
     NaN input pixels contribute zero weight; output pixels with zero
     accumulated weight become NaN holes when ``set_nans``.
     """
-    where_nan = jnp.isnan(first)
-    weights = jnp.where(jnp.any(where_nan, axis=-1), 0.0, 1.0)[..., None]
-    clean = jnp.where(where_nan, 0.0, first)
+    # any-NaN as a NaN-propagating max-reduce (see flow_diffuser.py
+    # UnetWithWarp nan_ch note: exact, and avoids the slow pred reduce)
+    nan_any = jnp.isnan(jnp.max(first, axis=-1))
+    weights = jnp.where(nan_any, 0.0, 1.0)[..., None]
+    clean = jnp.where(jnp.isnan(first), 0.0, first)
 
     offset = [
         int(o) % int(scale) if isinstance(o, int) else jnp.mod(o, scale)
