@@ -98,8 +98,11 @@ def _make_algo(image_size: int, timesteps: int, precision: str,
 
 
 def _train_samples_per_sec(image_size: int, batch: int, timesteps: int,
-                           precision: str, steps: int = 10) -> float:
-    """Full train step (loss + grads + Adam) samples/sec, synthetic batch."""
+                           precision: str, steps: int = 10,
+                           H: int = None, W: int = None) -> float:
+    """Full train step (loss + grads + Adam) samples/sec, synthetic batch.
+    H, W override the square image_size batch shape (e.g. 256x512 for the
+    full-res Sintel train row, smoke-ladder step 3)."""
     import jax
     import numpy as np
 
@@ -107,11 +110,13 @@ def _train_samples_per_sec(image_size: int, batch: int, timesteps: int,
     from opticalflowdiffusion_tpu.parallel.train import make_train_step
 
     algo = _make_algo(image_size, timesteps, precision)
+    H = H or image_size
+    W = W or image_size
     rng = np.random.default_rng(0)
     batch_np = (
-        rng.standard_normal((batch, image_size, image_size, 3)).astype("float32"),
-        rng.standard_normal((batch, image_size, image_size, 3)).astype("float32"),
-        rng.standard_normal((batch, image_size, image_size, 2)).astype("float32"),
+        rng.standard_normal((batch, H, W, 3)).astype("float32"),
+        rng.standard_normal((batch, H, W, 3)).astype("float32"),
+        rng.standard_normal((batch, H, W, 2)).astype("float32"),
     )
     mesh = meshlib.make_mesh()
     key = jax.random.PRNGKey(0)
@@ -310,6 +315,15 @@ def main():
             )
         except Exception as e:
             extra["sintel_ddim50_b8_frames_per_sec_error"] = repr(e)[:200]
+        try:
+            extra["sintel_train_samples_per_sec"] = round(
+                _train_samples_per_sec(
+                    image_size, 16, timesteps, precision, steps=4,
+                    H=256, W=512,
+                ), 2
+            )
+        except Exception as e:
+            extra["sintel_train_samples_per_sec_error"] = repr(e)[:200]
         try:
             extra["sintel_native_ddim50_frames_per_sec"] = round(
                 _sintel_ddim_frames_per_sec(

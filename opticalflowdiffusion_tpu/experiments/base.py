@@ -205,7 +205,8 @@ class JaxExperiment(BaseExperiment):
                     )
                     t_last = time.time()
 
-                ckpt_mgr.maybe_save(step, jax.device_get(state))
+                # lazy: device_get only on cadence hits (ckpt.py maybe_save)
+                ckpt_mgr.maybe_save(step, lambda: jax.device_get(state))
                 if 0 < max_steps <= step:
                     ckpt_mgr.maybe_save(step, jax.device_get(state), force=True)
                     ckpt_mgr.wait()

@@ -38,8 +38,18 @@ class CheckpointManager:
         )
 
     def maybe_save(self, step: int, state: Any, force: bool = False) -> bool:
+        """Save if the cadence (or ``force``) says so.
+
+        ``state`` may be a zero-arg callable producing the state: the hot
+        training loop passes ``lambda: jax.device_get(state)`` so the full
+        parameter/optimizer readback only happens on cadence hits, not
+        every step (a per-step device_get serializes the async dispatch
+        chain and, through a device tunnel, costs a full state transfer).
+        """
         if not force and (self.every_n <= 0 or step == 0 or step % self.every_n != 0):
             return False
+        if callable(state):
+            state = state()
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         return True
 
