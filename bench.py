@@ -225,11 +225,14 @@ def _flow_learner_train_samples_per_sec(precision: str = "float32",
 
 def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
                                 ddim_steps: int = 50,
-                                H: int = 256, W: int = 512) -> float:
-    """Sintel DDIM few-step sampling frames/sec.  Default H, W is the
+                                H: int = 256, W: int = 512,
+                                sampler: str = "ddim") -> float:
+    """Sintel few-step sampling frames/sec.  Default H, W is the
     reference config resolution (dataset/sintel.yaml 512x256); pass
     H=448, W=1024 for the native 1024x436 frame padded to the UNet's /8
-    divisibility (BASELINE.md "frames/sec (436x1024)" row)."""
+    divisibility (BASELINE.md "frames/sec (436x1024)" row).  sampler=
+    'dpmpp' measures the DPM-Solver++(2M) serving path (same per-step
+    cost; ~2.5x fewer steps at matched quality)."""
     import jax
     import jax.numpy as jnp
 
@@ -242,9 +245,11 @@ def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
     t = jnp.zeros((batch,), jnp.int32)
     params = jax.jit(algo.module.init)(rng, x, cond, t, None)["params"]
 
+    sample_fn = dm.dpmpp_sample if sampler == "dpmpp" else dm.ddim_sample
+
     @jax.jit
     def run(params, cond, rng):
-        img, _ = dm.ddim_sample(
+        img, _ = sample_fn(
             algo.sched, algo._model_fn(params), rng,
             (batch, H, W, algo.channels), external_cond=cond,
         )
@@ -315,6 +320,16 @@ def main():
             )
         except Exception as e:
             extra["sintel_ddim50_b8_frames_per_sec_error"] = repr(e)[:200]
+        try:
+            # serving path: DPM-Solver++(2M) at 20 steps tracks the ODE
+            # solution as well as DDIM needs ~50+ for (tests/test_diffusion)
+            extra["sintel_dpmpp20_b8_frames_per_sec"] = round(
+                _sintel_ddim_frames_per_sec(
+                    precision, batch=8, ddim_steps=20, sampler="dpmpp"
+                ), 3
+            )
+        except Exception as e:
+            extra["sintel_dpmpp20_b8_frames_per_sec_error"] = repr(e)[:200]
         try:
             extra["sintel_train_samples_per_sec"] = round(
                 _train_samples_per_sec(

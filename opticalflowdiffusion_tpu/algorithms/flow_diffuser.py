@@ -180,6 +180,9 @@ class FlowDiffuser(Algorithm):
                 objective="pred_x0",
                 noise_space="image" if cfg.get("noiser", "image") == "image" else "flow",
                 min_snr_loss_weight=True,
+                # framework extension (default 'auto' = reference dispatch):
+                # 'dpmpp' = DPM-Solver++(2M) few-step serving sampler
+                sampler=str(cfg.get("sampler", "auto")),
             )
 
         self.ae = Autoencoder(latent_dim=int(cfg.get("latent_dim", 16)), dtype=self.dtype) if self.latent else None
