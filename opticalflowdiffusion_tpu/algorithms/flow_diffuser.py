@@ -332,7 +332,10 @@ class FlowDiffuser(Algorithm):
         B, H, W = cond.shape[0], cond.shape[1], cond.shape[2]
         shape = (B, H, W, self.channels)
         if self.is_diffusion and return_every is not None:
-            if self.sched.is_ddim_sampling:
+            ancestral = self.sched.sampler == "ancestral" or (
+                self.sched.sampler == "auto" and not self.sched.is_ddim_sampling
+            )
+            if not ancestral:
                 # stride over the (short) DDIM trajectory; final state is
                 # always kept as the last frame (models/diffusion.py)
                 return_every = max(
@@ -345,7 +348,12 @@ class FlowDiffuser(Algorithm):
                     return_every -= 1
         if self.is_diffusion:
             if self.target == "target":
-                traj, adds = dm.p_sample_loop(
+                # routed through the dispatcher so algorithm.sampler /
+                # sampling_timesteps select DDIM/DPM++ here too (the
+                # reference's ddim_sample cannot take additional_tgt and
+                # would crash on this target; ours strips the flow
+                # channels in all three samplers)
+                traj, adds = dm.sample(
                     self.sched, self._model_fn(params, additional_out=True),
                     rng, shape, external_cond=cond,
                     additional_channels=2, return_every=return_every,

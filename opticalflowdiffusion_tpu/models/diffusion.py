@@ -143,6 +143,14 @@ def make_schedule(
             "ODE; the permutation-warp forward process (noise_space='flow') "
             "has no such ODE — use the ancestral sampler."
         )
+    if sampler == "dpmpp" and int(sampling_timesteps or timesteps) < 2:
+        # with S=1 the trailing grid is times=[0]: the single model call
+        # would evaluate at t=0 on pure N(0,1) input (worst-case
+        # conditioning); DDIM's S=1 grid correctly calls at t=T-1 instead
+        raise ValueError(
+            "sampler='dpmpp' requires sampling_timesteps >= 2 "
+            "(use sampler='ddim' for single-step sampling)"
+        )
     if noise_space == "flow" and objective != "pred_x0":
         raise NotImplementedError(
             "noise_space='flow' requires objective='pred_x0': the flow-"
@@ -511,9 +519,17 @@ def ddim_sample(
     rng: jax.Array,
     shape: Tuple[int, ...],
     external_cond: Optional[Array] = None,
+    additional_channels: int = 0,
     return_every: Optional[int] = None,
 ):
-    """DDIM sampling loop as one scanned XLA program (reference :731-774)."""
+    """DDIM sampling loop as one scanned XLA program (reference :731-774).
+
+    ``additional_channels`` strips and returns the model's extra output
+    channels (e.g. UnetWithWarp's flow) like :func:`p_sample_loop` does —
+    an upgrade over the reference, whose ``ddim_sample`` does not accept
+    ``additional_tgt`` at all and would raise a TypeError when dispatched
+    for the 'target' target (denoising_diffusion.py:733, 781-784).
+    """
     T, S, eta = sched.num_timesteps, sched.sampling_timesteps, sched.ddim_sampling_eta
     times = jnp.linspace(-1, T - 1, S + 1).astype(jnp.int32)
     times = times[::-1]
@@ -527,9 +543,10 @@ def ddim_sample(
         t, t_next = pair[0], pair[1]
         rng, noise_rng = jax.random.split(rng)
         bt = jnp.full((shape[0],), t, jnp.int32)
-        pred_noise, x_start, _ = model_predictions(
+        pred_noise, x_start, additional = model_predictions(
             sched, model_fn, img, bt,
             clip_x_start=True, rederive_pred_noise=True, external_cond=external_cond,
+            additional_channels=additional_channels,
         )
         alpha = sched.alphas_cumprod[t]
         alpha_next = jnp.where(t_next < 0, 1.0, sched.alphas_cumprod[t_next])
@@ -540,18 +557,27 @@ def ddim_sample(
         noise = jax.random.normal(noise_rng, shape, jnp.float32)
         out = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
         out = jnp.where(t_next < 0, x_start, out)
-        return (out, rng), out
+        return (out, rng), (out, additional)
 
-    (img, _), traj = jax.lax.scan(step, (img0, rng), pairs)
+    (img, _), (traj, adds) = jax.lax.scan(step, (img0, rng), pairs)
     if return_every is None:
-        return img, None
+        additional = (
+            None if additional_channels == 0
+            else jax.tree_util.tree_map(lambda a: a[-1], adds)
+        )
+        return img, additional
     traj = jnp.concatenate([img0[None], traj], axis=0)
     traj = jnp.moveaxis(traj, 0, 1)  # (B, S+1, ...)
     # subsample but ALWAYS keep the final state as the last frame
     idx = list(range(0, S + 1, max(1, int(return_every))))
     if idx[-1] != S:
         idx.append(S)
-    return traj[:, jnp.asarray(idx)], None
+    if additional_channels:
+        adds = jnp.moveaxis(adds, 0, 1)  # (B, S, ...) — no initial-noise frame
+        adds = adds[:, jnp.asarray([max(i - 1, 0) for i in idx])]
+    else:
+        adds = None
+    return traj[:, jnp.asarray(idx)], adds
 
 
 def dpmpp_sample(
@@ -560,6 +586,7 @@ def dpmpp_sample(
     rng: jax.Array,
     shape: Tuple[int, ...],
     external_cond: Optional[Array] = None,
+    additional_channels: int = 0,
     return_every: Optional[int] = None,
 ):
     """DPM-Solver++(2M) (Lu et al. 2022, arXiv:2211.01095) as one scanned
@@ -598,9 +625,10 @@ def dpmpp_sample(
         x, prev_x0, prev_lam, has_prev = carry
         t, t_next = pair[0], pair[1]
         bt = jnp.full((shape[0],), t, jnp.int32)
-        _, x0, _ = model_predictions(
+        _, x0, additional = model_predictions(
             sched, model_fn, x, bt, clip_x_start=True,
             external_cond=external_cond,
+            additional_channels=additional_channels,
         )
         lam_t = lam(t)
         lam_next = jnp.where(t_next < 0, lam_t, lam(jnp.maximum(t_next, 0)))
@@ -615,19 +643,28 @@ def dpmpp_sample(
         d = jnp.where(has_prev, d2, x0)
         out = (sigma_next / sigma_t) * x - alpha_next * jnp.expm1(-h) * d
         out = jnp.where(t_next < 0, x0, out)
-        return (out, x0, lam_t, jnp.ones((), bool)), out
+        return (out, x0, lam_t, jnp.ones((), bool)), (out, additional)
 
     init = (img0, jnp.zeros(shape, jnp.float32), jnp.zeros((), jnp.float32),
             jnp.zeros((), bool))
-    (img, _, _, _), traj = jax.lax.scan(step, init, pairs)
+    (img, _, _, _), (traj, adds) = jax.lax.scan(step, init, pairs)
     if return_every is None:
-        return img, None
+        additional = (
+            None if additional_channels == 0
+            else jax.tree_util.tree_map(lambda a: a[-1], adds)
+        )
+        return img, additional
     traj = jnp.concatenate([img0[None], traj], axis=0)
     traj = jnp.moveaxis(traj, 0, 1)  # (B, S+1, ...)
     idx = list(range(0, S + 1, max(1, int(return_every))))
     if idx[-1] != S:
         idx.append(S)
-    return traj[:, jnp.asarray(idx)], None
+    if additional_channels:
+        adds = jnp.moveaxis(adds, 0, 1)  # (B, S, ...) — no initial-noise frame
+        adds = adds[:, jnp.asarray([max(i - 1, 0) for i in idx])]
+    else:
+        adds = None
+    return traj[:, jnp.asarray(idx)], adds
 
 
 def sample(
@@ -647,13 +684,15 @@ def sample(
     """
     if sched.sampler == "dpmpp":
         return dpmpp_sample(
-            sched, model_fn, rng, shape, external_cond, return_every
+            sched, model_fn, rng, shape, external_cond,
+            additional_channels, return_every,
         )
     if sched.sampler == "ddim" or (
         sched.sampler == "auto" and sched.is_ddim_sampling
     ):
         return ddim_sample(
-            sched, model_fn, rng, shape, external_cond, return_every
+            sched, model_fn, rng, shape, external_cond,
+            additional_channels, return_every,
         )
     return p_sample_loop(
         sched, model_fn, rng, shape, external_cond, additional_channels, return_every

@@ -342,3 +342,68 @@ def test_flow_diffuser_dpmpp_sampler_knob():
     )
     assert samples.shape[0] == 2 and flows.shape[-1] == 2
     assert bool(jnp.all(jnp.isfinite(flows)))
+
+
+def test_samplers_plumb_additional_channels():
+    """ADVICE r2: ddim/dpmpp must strip + return the model's extra output
+    channels like p_sample_loop (the reference ddim_sample can't even accept
+    additional_tgt — denoising_diffusion.py:733)."""
+    shape = (2, 8, 8, 3)
+
+    def model(x, cond, t, sc=None):
+        return jnp.concatenate(
+            [x * 0.5, jnp.full(x.shape[:-1] + (2,), 0.25, x.dtype)], axis=-1
+        )
+
+    rng = jax.random.PRNGKey(3)
+    for sampler in ("ddim", "dpmpp"):
+        sched = dm.make_schedule(
+            timesteps=20, sampling_timesteps=5, objective="pred_x0",
+            sampler=sampler,
+        )
+        img, adds = dm.sample(sched, model, rng, shape, additional_channels=2)
+        assert img.shape == shape
+        assert adds.shape == shape[:-1] + (2,)
+        assert bool(jnp.all(adds == 0.25))
+        traj, adds_t = dm.sample(
+            sched, model, rng, shape, additional_channels=2, return_every=2
+        )
+        assert traj.shape[1] == adds_t.shape[1]
+        assert adds_t.shape[-1] == 2
+
+
+def test_dpmpp_single_step_rejected():
+    """ADVICE r2: S=1 dpmpp would make its only model call at t=0 on pure
+    noise; the schedule constructor must reject it."""
+    with pytest.raises(ValueError):
+        dm.make_schedule(timesteps=20, sampling_timesteps=1,
+                         objective="pred_x0", sampler="dpmpp")
+
+
+def test_flow_diffuser_target_target_respects_sampler_knob():
+    """ADVICE r2: target='target' must route through the sampler dispatcher
+    (previously always full-T ancestral regardless of algorithm.sampler)."""
+    from opticalflowdiffusion_tpu.algorithms.flow_diffuser import FlowDiffuser
+    from opticalflowdiffusion_tpu.config import compose
+
+    cfg = compose([
+        "experiment=matrix_flow", "dataset=artificial",
+        "algorithm=flow_diffuser",
+        "algorithm.image_size=16", "algorithm.timesteps=20",
+        "algorithm.sampling_timesteps=3", "+algorithm.sampler=ddim",
+        "algorithm.target=target", "algorithm.flow_max=4",
+    ])
+    algo = FlowDiffuser(cfg.algorithm)
+    rng = np.random.default_rng(0)
+    batch = tuple(
+        jnp.asarray(rng.standard_normal((2, 16, 16, c)), jnp.float32)
+        for c in (3, 3, 2)
+    )
+    state = algo.init(jax.random.PRNGKey(0), batch)
+    samples, flows = algo.sample(
+        state.params, batch[0], jax.random.PRNGKey(1), return_every=2
+    )
+    # DDIM trajectory is S+1=4 frames subsampled by 2 (+ forced final) = 3;
+    # full-T ancestral would have been 20/re + 1 frames
+    assert samples.shape[1] == flows.shape[1] == 3
+    assert flows.shape[-1] == 2
