@@ -372,14 +372,19 @@ def p_losses(
     model_out_override: Optional[Tuple[Array, Optional[Array]]] = None,
     offset_noise_strength: float = 0.0,
     flow_loss_weight: float = 0.0,
+    noise: Optional[Array] = None,
 ) -> Array:
-    """Training loss (reference :823-891)."""
+    """Training loss (reference :823-891).  ``noise`` overrides the drawn
+    forward-process noise (reference p_losses' ``noise=`` arg :825) — used by
+    the weight-transplant equivalence tests to pin both frameworks to the
+    same sample."""
     rng_noise, rng_sc, rng_off = jax.random.split(rng, 3)
     noise_shape = (
         x_start.shape[:-1] + (2,) if sched.noise_space == "flow"
         else x_start.shape
     )
-    noise = jax.random.normal(rng_noise, noise_shape, x_start.dtype)
+    if noise is None:
+        noise = jax.random.normal(rng_noise, noise_shape, x_start.dtype)
     if offset_noise_strength > 0.0:
         off = jax.random.normal(
             rng_off, x_start.shape[:1] + (1, 1) + x_start.shape[-1:], x_start.dtype

@@ -73,8 +73,11 @@ class ChanLayerNorm(nn.Module):
 
 class GroupNorm(nn.Module):
     """Drop-in fused GroupNorm (same params/math as flax nn.GroupNorm with
-    epsilon 1e-6, fast variance, f32 reductions; class name keeps the
-    ``GroupNorm_N`` checkpoint path).
+    fast variance, f32 reductions; class name keeps the ``GroupNorm_N``
+    checkpoint path).  epsilon defaults to 1e-5 = torch nn.GroupNorm's
+    default — the reference Block uses it (denoising_diffusion.py:174), and
+    the weight-transplant equivalence test (tests/test_reference_equivalence)
+    pins bit-level agreement against the torch module.
 
     Written so the f32 convert lives only inside the reduction fusions
     (stats accumulate in f32 straight from bf16) and the normalize is one
@@ -86,7 +89,7 @@ class GroupNorm(nn.Module):
     """
 
     num_groups: int = 8
-    epsilon: float = 1e-6
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -357,7 +360,9 @@ class Unet(nn.Module):
             else:
                 emb = sinusoidal_pos_emb(time, self.dim)
             t = nn.Dense(time_dim, dtype=self.dtype)(emb.astype(self.dtype))
-            t = nn.Dense(time_dim, dtype=self.dtype)(nn.gelu(t))
+            # exact (erf) GELU: torch nn.GELU's default (reference :316); the
+            # flax default is the tanh approximation, ~1e-3 off
+            t = nn.Dense(time_dim, dtype=self.dtype)(nn.gelu(t, approximate=False))
         else:
             if time is not None:
                 raise ValueError("this Unet does not take time arg")

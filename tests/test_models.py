@@ -165,13 +165,13 @@ def test_resized_crop_matmul_matches_bilinear_gather(rng):
 
 def test_group_norm_matches_flax(rng):
     """unet.GroupNorm (fused drop-in, same 'GroupNorm_N/scale|bias' param
-    path) == flax nn.GroupNorm with epsilon 1e-6 / fast variance, on f32
-    and bf16 operands."""
+    path) == flax nn.GroupNorm with epsilon 1e-5 (the torch nn.GroupNorm
+    default the reference uses) / fast variance, on f32 and bf16 operands."""
     import flax.linen as nn
 
     for B, H, W, C, g in ((2, 8, 8, 64, 8), (1, 4, 4, 96, 8)):
         x = jnp.asarray(rng.standard_normal((B, H, W, C)) * 3 + 1, jnp.float32)
-        ref = nn.GroupNorm(num_groups=g, dtype=jnp.float32)
+        ref = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=jnp.float32)
         p = ref.init(jax.random.PRNGKey(0), x)
         p = jax.tree.map(
             lambda a: a + jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.3,
