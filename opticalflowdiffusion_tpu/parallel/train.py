@@ -177,15 +177,20 @@ def make_train_step(
     return call
 
 
-def make_eval_step(fn: Callable, mesh, static_argnums=()):
+def make_eval_step(fn: Callable, mesh, static_argnums=(), spatial: bool = False):
     """jit an eval function with batch sharded over the data axis.
 
     Params pinned replicated for the same single-compilation reason as
     make_train_step (the sampling program here is the most expensive
     compile in the codebase).
+
+    ``spatial=True`` leaves the batch sharding to be inferred from the
+    arrays placed by ``shard_batch(..., spatial=True)`` — DP x SP sampling:
+    batch over ``data``, NHWC height over ``model``, with XLA SPMD inserting
+    the conv/splat halo exchanges through the whole scanned reverse loop.
     """
     repl = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    data_sh = None if spatial else NamedSharding(mesh, P(DATA_AXIS))
     jitted = jax.jit(
         fn, in_shardings=(repl, data_sh, None), static_argnums=static_argnums
     )
