@@ -84,6 +84,10 @@ def download_latest_checkpoint(run_id: str) -> Path:
     """Resolve a run id to its checkpoint directory (main.py:67-74 equivalent).
 
     Accepts either an artifact-store id or a direct filesystem path.
+    Search order: direct path, $OFD_ARTIFACT_ROOT (run-local store), then
+    the repo-bundled ``artifacts/`` registry (tracked symlinks to published
+    checkpoints, e.g. the ``raft-artificial`` flow-precompute weights) — so
+    bundled artifacts resolve in a fresh clone without re-training.
     """
     p = Path(run_id)
     if p.exists():
@@ -91,8 +95,12 @@ def download_latest_checkpoint(run_id: str) -> Path:
     p = ARTIFACT_ROOT / run_id
     if p.exists():
         return p
+    bundled = Path(__file__).resolve().parents[2] / "artifacts" / run_id
+    if bundled.exists():
+        return bundled
     raise FileNotFoundError(
-        f"checkpoint artifact '{run_id}' not found (searched {ARTIFACT_ROOT})"
+        f"checkpoint artifact '{run_id}' not found "
+        f"(searched {ARTIFACT_ROOT} and {bundled.parent})"
     )
 
 

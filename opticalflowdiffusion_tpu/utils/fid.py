@@ -112,10 +112,27 @@ def classifier_feature_fn(
     return fn
 
 
+def auto_feature_fn(artifact: str = "classifier-feat"):
+    """(feature_fn, source): the trained classifier's features when the
+    ``classifier-feat`` artifact is resolvable (training/classifier_pretrain
+    publishes it), else the random-conv bank.  ``source`` names which was
+    used so metric keys can carry the provenance."""
+    try:
+        fn = classifier_feature_fn(artifact)
+        return fn, "classifier"
+    except Exception:
+        return default_feature_fn(), "randconv"
+
+
 def fid_between(
     real: np.ndarray, fake: np.ndarray, feature_fn: Optional[Callable] = None
 ) -> float:
-    feature_fn = feature_fn or default_feature_fn()
+    """Frechet distance between two image sets.  With no explicit
+    ``feature_fn`` the TRAINED classifier features are used when the
+    ``classifier-feat`` artifact exists (the Inception-FID stand-in);
+    only then falls back to the random-conv bank."""
+    if feature_fn is None:
+        feature_fn, _ = auto_feature_fn()
     f_real = np.asarray(feature_fn(jnp.asarray(real)))
     f_fake = np.asarray(feature_fn(jnp.asarray(fake)))
     return frechet_distance(*feature_stats(f_real), *feature_stats(f_fake))
@@ -123,5 +140,5 @@ def fid_between(
 
 __all__ = [
     "frechet_distance", "feature_stats", "fid_between", "default_feature_fn",
-    "classifier_feature_fn",
+    "classifier_feature_fn", "auto_feature_fn",
 ]
