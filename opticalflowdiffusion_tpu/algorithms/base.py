@@ -25,6 +25,22 @@ from ..config import Config
 from ..parallel.train import TrainState, make_optimizer
 
 
+def pair_batch(batch):
+    """(img, tgt, flow) from either a pair dataset or a 3-frame dataset.
+
+    Sintel emits (frame1, frame2, frame3, flow) where the GT .flo at frame n
+    is the forward flow frame2 -> frame3 (reference sintel.py:70-98: images
+    n-1, n, n+1 with flow indexed at n).  The reference's pair algorithms
+    unpack 3 values (flow_diffuser.py:140, augmentation.py:70) and would
+    crash on that 4-tuple — its Sintel __getitem__ never ran un-hardcoded.
+    This adapter implements the intended pairing: the (frame2, frame3) pair
+    whose motion the GT flow describes; 3-frame consumers (PWCLearner) take
+    the full tuple."""
+    if len(batch) == 4:
+        return batch[1], batch[2], batch[3]
+    return batch
+
+
 class Algorithm:
     """Base class; subclasses implement init/loss_fn/val_step."""
 

@@ -21,7 +21,7 @@ import numpy as np
 from flax import linen as nn
 
 from .augmentation import augment
-from .base import Algorithm
+from .base import Algorithm, pair_batch
 from ..config import Config
 from ..models import diffusion as dm
 from ..models.autoencoder import Autoencoder
@@ -191,7 +191,7 @@ class FlowDiffuser(Algorithm):
 
     # -- setup ----------------------------------------------------------------
     def init(self, rng, batch, clip=None) -> TrainState:
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         B = img.shape[0]
         rng, ae_rng = jax.random.split(rng)
 
@@ -236,7 +236,7 @@ class FlowDiffuser(Algorithm):
     # -- data -------------------------------------------------------------------
     def preprocess(self, rng, batch, aug: bool = True):
         """reference flow_diffuser.py:136-168."""
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         if aug:
             img, tgt, flow = augment(rng, img, tgt, flow)
         flow_n = jnp.clip(flow / self.flow_max, -1.0, 1.0)
@@ -387,7 +387,7 @@ class FlowDiffuser(Algorithm):
     # -- validation -----------------------------------------------------------------
     def val_step(self, params, batch, rng) -> Tuple[Dict, Dict]:
         """reference flow_diffuser.py:237-364 (metrics + artifacts)."""
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         rng_pre, rng_loss, rng_s, rng_i = jax.random.split(rng, 4)
         tgt_x, cond, flow_n = self.preprocess(rng_pre, batch, aug=False)
 
@@ -482,7 +482,7 @@ class FlowDiffuser(Algorithm):
 
     # -- host-side visualization ------------------------------------------------------
     def visualize(self, batch, artifacts) -> Dict[str, np.ndarray]:
-        img, tgt, flow = (np.asarray(x) for x in batch)
+        img, tgt, flow = (np.asarray(x) for x in pair_batch(batch))
         out = {}
         p_flows = np.asarray(artifacts["p_flows"])
         flows_rgb = viz.flow_to_image(

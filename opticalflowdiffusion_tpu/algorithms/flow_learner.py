@@ -26,7 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from .augmentation import augment
-from .base import Algorithm
+from .base import Algorithm, pair_batch
 from ..config import Config
 from ..models.unet import Unet
 from ..models.filter_codec import ConvToFilter
@@ -101,7 +101,7 @@ class FlowLearner(Algorithm):
         self.levels = tuple(cfg.get("levels", DEFAULT_LEVELS))
 
     def init(self, rng, batch, clip=None) -> TrainState:
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         cond = jnp.concatenate([2.0 * img - 1.0, 2.0 * tgt - 1.0], axis=-1)
         variables = jax.jit(self.module.init)(rng, cond)
         return TrainState.create(variables["params"], self.make_optimizer(clip))
@@ -109,7 +109,7 @@ class FlowLearner(Algorithm):
     # -- data ------------------------------------------------------------------
     def preprocess(self, rng, batch, aug=True):
         """reference flow_learner.py:104-120."""
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         if aug:
             img, tgt, flow = augment(rng, img, tgt, flow)
         flow_n = jnp.clip(flow / self.flow_max, -1.0, 1.0)
@@ -183,7 +183,7 @@ class FlowLearner(Algorithm):
         return samples, flow_pred, weights, packed
 
     def val_step(self, params, batch, rng) -> Tuple[Dict, Dict]:
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         tgt_, cond, flow_n = self.preprocess(rng, batch, aug=False)
 
         loss = self.loss(params, tgt_, cond, flow_n)
@@ -232,7 +232,7 @@ class FlowLearner(Algorithm):
         return metrics, artifacts
 
     def visualize(self, batch, artifacts) -> Dict[str, np.ndarray]:
-        img, tgt, flow = (np.asarray(x) for x in batch)
+        img, tgt, flow = (np.asarray(x) for x in pair_batch(batch))
         p_flows = np.asarray(artifacts["p_flows"])
         B = img.shape[0]
         flos = viz.flow_to_image(

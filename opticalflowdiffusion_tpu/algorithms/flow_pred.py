@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .augmentation import augment
-from .base import Algorithm
+from .base import Algorithm, pair_batch
 from ..config import Config
 from ..models.autoencoder import Autoencoder
 from ..parallel.train import TrainState
@@ -34,7 +34,7 @@ class FlowPred(Algorithm):
         self.ae_frac = float(cfg.get("ae_frac", 0.1))
 
     def init(self, rng, batch, clip=None) -> TrainState:
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         variables = jax.jit(self.ae.init)(rng, img, flow)
         return TrainState.create(variables["params"], self.make_optimizer(clip))
 
@@ -53,13 +53,13 @@ class FlowPred(Algorithm):
         return loss, {}
 
     def val_step(self, params, batch, rng) -> Tuple[Dict, Dict]:
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         out = self.ae.apply({"params": params}, img, flow)
         loss = jnp.mean(jnp.square(out - tgt))
         return {"val/loss": loss}, {"out": out}
 
     def visualize(self, batch, artifacts) -> Dict[str, np.ndarray]:
-        img, tgt, flow = (np.asarray(x) for x in batch)
+        img, tgt, flow = (np.asarray(x) for x in pair_batch(batch))
         return {
             "original": img,
             "target": tgt,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .base import Algorithm
+from .base import Algorithm, pair_batch
 from ..config import Config
 from ..models.unet import Unet
 from ..ops import filters as fops
@@ -288,7 +288,7 @@ class MatrixFlow(Algorithm):
 
     # ------------------------------------------------------------- steps
     def init(self, rng, batch, clip=None) -> TrainState:
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         x = 2.0 * jnp.concatenate([img, tgt], axis=-1) - 1.0
         variables = jax.jit(lambda r, xx: self.module.init(r, xx, None, None))(rng, x)
         return TrainState.create(variables["params"], self.make_optimizer(clip))
@@ -299,7 +299,7 @@ class MatrixFlow(Algorithm):
         return out if self.arch != "raft" else out
 
     def loss_fn(self, params, batch, rng):
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         o = self._forward(params, img, tgt)
         outs = o if isinstance(o, (list, tuple)) else [o]
         errs, photo = [], None
@@ -315,7 +315,7 @@ class MatrixFlow(Algorithm):
         return err, metrics
 
     def val_step(self, params, batch, rng) -> Tuple[Dict, Dict]:
-        img, tgt, flow = batch
+        img, tgt, flow = batch = pair_batch(batch)
         o = self._forward(params, img, tgt)
         out = o[-1] if isinstance(o, (list, tuple)) else o
         out_sf, sfs = self.apply_filter(out, img)
@@ -353,7 +353,7 @@ class MatrixFlow(Algorithm):
         return metrics, artifacts
 
     def visualize(self, batch, artifacts) -> Dict[str, np.ndarray]:
-        img, tgt, flow = (np.asarray(x) for x in batch)
+        img, tgt, flow = (np.asarray(x) for x in pair_batch(batch))
         out = {
             "original": img,
             "target": tgt,
