@@ -49,7 +49,14 @@ class FrameGenerator(Algorithm):
         super().__init__(cfg)
         self.image_size = int(cfg.image_size)
         self.module = Unet(64, channels=3 + 3 + 2, out_dim=3, dtype=self.dtype)
-        self.sched = dm.make_schedule(timesteps=1000, objective="pred_noise")
+        # reference ConditionalDiffusion defaults (T=1000 ancestral,
+        # diffusion_animation.py:31-37); sampling_timesteps opts into DDIM
+        # exactly like flow_diffuser.yaml's knob
+        self.sched = dm.make_schedule(
+            timesteps=int(cfg.get("timesteps", 1000)),
+            sampling_timesteps=cfg.get("sampling_timesteps"),
+            objective="pred_noise",
+        )
 
     def _model_fn(self, params):
         def fn(x, cond, t, self_cond=None):

@@ -14,9 +14,13 @@ class AnimationExperiment(JaxExperiment):
 
     @property
     def compatible_datasets(self):
+        from ..data.artificial_video import ArtificialVideoDataset
         from ..data.taichi import TaiChiDataset
 
-        return dict(taichi=TaiChiDataset)
+        # artificial_video: rebuild extension — synthetic constant-velocity
+        # sequences in the TaiChi layout (exact GT flow; see its module doc)
+        return dict(taichi=TaiChiDataset,
+                    artificial_video=ArtificialVideoDataset)
 
 
 __all__ = ["AnimationExperiment"]

@@ -46,7 +46,8 @@ def _w1(a: np.ndarray, b: np.ndarray, cap: int = 50000) -> float:
     return float(np.abs(np.quantile(a, q) - np.quantile(b, q)).mean())
 
 
-def _eval(algo, state, val_loader, rng, n_batches=8, val_step=None):
+def _eval(algo, state, val_loader, rng, n_batches=8, val_step=None,
+          frechet: bool = False):
     import jax
 
     if val_step is None:
@@ -57,6 +58,8 @@ def _eval(algo, state, val_loader, rng, n_batches=8, val_step=None):
     # (BASELINE.md: "sample fidelity = distribution parity")
     acc = {"gt_u": [], "gt_v": [], "p_u": [], "p_v": [],
            "gt_mag": [], "p_mag": []}
+    # feature-space fidelity: sampled frames vs GT-warped target frames
+    frames_fake, frames_real = [], []
     for i, batch in enumerate(val_loader):
         if i >= n_batches:
             break
@@ -95,6 +98,11 @@ def _eval(algo, state, val_loader, rng, n_batches=8, val_step=None):
         acc["p_v"].append(p_flows[..., 1][p_moving])
         acc["gt_mag"].append(mag.ravel())
         acc["p_mag"].append(np.sqrt((p_flows ** 2).sum(-1) + 1e-12).ravel())
+        if frechet and "samples" in arts and "tgt_x" in arts:
+            s = np.nan_to_num(np.asarray(arts["samples"]))
+            t_ = np.nan_to_num(np.asarray(arts["tgt_x"]))
+            frames_fake.append(np.clip((s[..., :3] + 1) * 0.5, 0, 1))
+            frames_real.append(np.clip((t_[..., :3] + 1) * 0.5, 0, 1))
         if "last_step_flow" in arts:
             lerr = np.sqrt(
                 ((flow - np.asarray(arts["last_step_flow"])) ** 2).sum(-1)
@@ -121,6 +129,19 @@ def _eval(algo, state, val_loader, rng, n_batches=8, val_step=None):
         (cat["gt_mag"] > 0.5).mean() if cat["gt_mag"].size else np.nan)
     out["moving_frac_sampled"] = float(
         (cat["p_mag"] > 0.5).mean() if cat["p_mag"].size else np.nan)
+    if frechet and frames_fake:
+        # Frechet(sampled frames, GT-warped target frames) in TRAINED
+        # classifier feature space when the classifier-feat artifact exists
+        # (utils/fid.py::auto_feature_fn); provenance carried in the key.
+        from ..utils import fid as fidlib
+
+        fn, src = fidlib.auto_feature_fn()
+        fake = np.concatenate(frames_fake)[:512]
+        real = np.concatenate(frames_real)[:512]
+        out[f"frechet_{src}"] = fidlib.fid_between(real, fake, feature_fn=fn)
+        out[f"frechet_{src}_floor"] = fidlib.fid_between(
+            real[: len(real) // 2], real[len(real) // 2:], feature_fn=fn
+        )
     return out, arts0, batch0
 
 
@@ -249,8 +270,12 @@ def run_parity(
         state, curve, perf = _train(
             algo, train_loader, mesh, rng, steps, clip=100
         )
-        final_metrics, arts, batch0 = _eval(algo, state, val_loader, rng,
-                                            val_step=val_step)
+        # feature-space Frechet only for pixel-space samples (latent-mode
+        # samples live in AE latent space — not natural frames)
+        final_metrics, arts, batch0 = _eval(
+            algo, state, val_loader, rng, val_step=val_step,
+            frechet=not bool(algo.latent),
+        )
         visuals = _save_visuals(algo, batch0, arts, out, key)
         results[key] = dict(
             steps=steps, init=init_metrics, final=final_metrics,
@@ -317,13 +342,24 @@ def run_parity(
                    "algorithm.latent_dim=16"],
         )
 
+    if "flownoise" in stages:
+        # the permutation-warp forward process (noise_space='flow',
+        # reference denoising_diffusion.py:686-696/806-821 — dead code
+        # upstream because permute_warp is a pass stub; IMPLEMENTED here per
+        # warp.py:181-228's documented intent), sampled with the matching
+        # ancestral reverse process
+        diffuser_run(
+            "joint", diffuser_steps, "flow_diffuser_flownoise", seed + 6,
+            extra=["algorithm.noiser=flow", "~algorithm.sampling_timesteps"],
+        )
+
     # ----------------------------------------------------------- FlowLearner
-    def learner_run(key: str, rseed: int, extra: list = ()):
+    def learner_run(key: str, rseed: int, extra: list = (), flow_max=True):
         label = key.removeprefix("flow_learner") or " (f32)"
         print(f"[parity] FlowLearner (unsupervised photometric{label})")
         cfg = compose(common + [
             "algorithm=flow_learner",
-            "algorithm.flow_max=2",
+            *(["algorithm.flow_max=2"] if flow_max else []),
             "algorithm.lr=2e-4",
             *extra,
         ])
@@ -377,11 +413,47 @@ def run_parity(
         # evidences that the fast path trains to the same quality as f32
         learner_run("flow_learner_bf16", seed + 1,
                     extra=["+algorithm._precision=bf16"])
+    if "learner_filter" in stages:
+        # filter representation (reference flow_learner.py radius/c2f mode,
+        # FilterUnet + occlusion mask + sparsity): per-pixel R x R gather
+        # filters; flow read out as the filter's mean tap offset.  radius=3
+        # covers ArtificialDataset's +-1 px motions (flow_max = radius//2).
+        learner_run("flow_learner_filter", seed + 5,
+                    extra=["~algorithm.flow_max", "+algorithm.radius=3"],
+                    flow_max=False)
 
     with open(out / "parity_r02.json", "w") as fh:
         json.dump(results, fh, indent=1)
     _write_report(out, results)
     return results
+
+
+def _frechet_block(r: dict) -> str:
+    """Feature-space sample-fidelity rows (VERDICT r2 #6): Frechet distance
+    between sampled frames and GT-warped target frames, in TRAINED classifier
+    feature space when the classifier-feat artifact resolves (key carries the
+    provenance); the 'floor' column is Frechet(real-half-1, real-half-2) —
+    the sampling noise of the estimator itself."""
+    rows = []
+    for key, d in r.items():
+        if not isinstance(d, dict) or "final" not in d:
+            continue
+        f = d["final"]
+        for src in ("classifier", "randconv"):
+            if f"frechet_{src}" in f:
+                rows.append(
+                    f"| {key} | {src} | {f[f'frechet_{src}']:.4f} | "
+                    f"{f.get(f'frechet_{src}_floor', float('nan')):.4f} |"
+                )
+    if not rows:
+        return ""
+    body = "\n".join(rows)
+    return (
+        "Feature-space sample fidelity — Frechet(sampled frames, GT-warped "
+        "target frames):\n\n"
+        "| stage | feature space | Frechet | same-distribution floor |\n"
+        "|---|---|---|---|\n" + body + "\n"
+    )
 
 
 def _write_report(out: Path, r: dict) -> None:
@@ -415,11 +487,17 @@ def _write_report(out: Path, r: dict) -> None:
                         r["flow_diffuser_ancestral"]))
     if r.get("flow_diffuser_latent") is not None:
         rows.append(row("FlowDiffuser (latent joint)", r["flow_diffuser_latent"]))
+    if r.get("flow_diffuser_flownoise") is not None:
+        rows.append(row("FlowDiffuser (joint, noise_space=flow, ancestral)",
+                        r["flow_diffuser_flownoise"]))
     if fl is not None:
         rows.append(row("FlowLearner (unsup.)", fl))
     if r.get("flow_learner_bf16") is not None:
         rows.append(row("FlowLearner (unsup., bf16 pipeline)",
                         r["flow_learner_bf16"]))
+    if r.get("flow_learner_filter") is not None:
+        rows.append(row("FlowLearner (filter rep, radius=3)",
+                        r["flow_learner_filter"]))
     table = "\n".join(rows)
 
     ae = r.get("ae_pretrain")
@@ -459,11 +537,18 @@ def _write_report(out: Path, r: dict) -> None:
     if r.get("flow_diffuser_latent") is not None:
         dist_rows.append(
             dist_row("FlowDiffuser (latent joint)", r["flow_diffuser_latent"]))
+    if r.get("flow_diffuser_flownoise") is not None:
+        dist_rows.append(dist_row(
+            "FlowDiffuser (joint, noise_space=flow, ancestral)",
+            r["flow_diffuser_flownoise"]))
     if fl is not None:
         dist_rows.append(dist_row("FlowLearner (unsup.)", fl))
     if r.get("flow_learner_bf16") is not None:
         dist_rows.append(dist_row("FlowLearner (unsup., bf16 pipeline)",
                                   r["flow_learner_bf16"]))
+    if r.get("flow_learner_filter") is not None:
+        dist_rows.append(dist_row("FlowLearner (filter rep, radius=3)",
+                                  r["flow_learner_filter"]))
     dist_table = "\n".join(dist_rows)
     dist_block = f"""## Sample-distribution parity (BASELINE.md fidelity target)
 
@@ -479,6 +564,7 @@ predict-no-motion sampler scores):
 |---|---|---|---|---|---|
 {dist_table}
 
+{_frechet_block(r)}
 The FlowDiffuser (flow) row carries the fidelity claim: with the pyramid
 loss supervising the denoised flow directly, the sampled flow distribution
 matches GT closely (W1 ~6x better than zero-flow; moving fraction matches).
@@ -580,7 +666,7 @@ def main():
     ap.add_argument("--ae-steps", type=int, default=3000)
     ap.add_argument("--stages", default="joint,flow,flowloss,latent,learner",
                     help="comma list of joint,flow,flowloss,ancestral,latent,"
-                         "learner,learner_bf16")
+                         "flownoise,learner,learner_bf16,learner_filter")
     ap.add_argument("--merge", action="store_true",
                     help="merge onto an existing parity_r02.json")
     ap.add_argument("--report-only", action="store_true",

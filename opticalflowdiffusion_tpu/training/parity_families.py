@@ -1,0 +1,509 @@
+"""Trained-parity evidence for the algorithm families the flagship parity
+harness (training/parity.py) doesn't cover (VERDICT r2 missing #4):
+
+* MatrixFlow ``goal=filter_pred`` — unsupervised per-pixel filter matrices;
+  evidenced against its OWN opt-loss oracles (reference
+  matrix_flow.py:477-488: the loss/photometric the optimal GT-derived
+  filter achieves).
+* PWCLearner — unsupervised 3-frame PWC-Net (reference pwc_learner.py:10-121)
+  on constant-velocity synthetic video (real past/present/future frames, so
+  the constant-velocity loss term is meaningful); EPE vs the zero-flow
+  baseline.
+* FrameGenerator — conditional next-frame DDPM; autoregressive val rollout
+  (reference diffusion_animation.py:84-92) scored as per-step MSE against
+  the ground-truth continuation vs the copy-conditioning-frame baseline.
+* FlowCompleter — sparse->dense flow completion (reference
+  diffusion_animation.py:127-247); dense EPE as a function of the number of
+  sparse samples provided (density sweep).
+
+All stages train with the production train step (parallel/train.py) on
+synthetic datasets with exact GT (data/artificial.py, data/artificial_video
+.py) and evaluate with the production ``val_step``.
+
+Usage:
+    python -m opticalflowdiffusion_tpu.training.parity_families --out-dir parity
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .parity import _train
+
+
+def _val_avg(algo, state, val_loader, rng, n_batches=4, val_step=None):
+    """Average all scalar val metrics over ``n_batches``; return the first
+    batch + artifacts for visuals/extra scoring."""
+    import jax
+
+    if val_step is None:
+        val_step = jax.jit(algo.val_step)
+    totals, count = {}, 0
+    arts0 = batch0 = None
+    for i, batch in enumerate(val_loader):
+        if i >= n_batches:
+            break
+        rng, sub = jax.random.split(rng)
+        metrics, arts = val_step(state.params, batch, sub)
+        if i == 0:
+            arts0, batch0 = jax.device_get(arts), batch
+        for k, v in metrics.items():
+            try:
+                totals[k] = totals.get(k, 0.0) + float(v)
+            except (TypeError, ValueError):
+                pass
+        count += 1
+    return {k: v / count for k, v in totals.items()}, arts0, batch0
+
+
+def _save_all_visuals(algo, batch, arts, out_dir: Path, prefix: str):
+    from ..utils import visualization as viz
+
+    saved = []
+    for key, img in algo.visualize(batch, arts).items():
+        p = out_dir / f"{prefix}-{key.replace('/', '_')}.png"
+        viz.save_image(np.asarray(img), p)
+        saved.append(p.name)
+    return saved
+
+
+def _flush(out: Path, results: dict) -> None:
+    with open(out / "parity_families_r03.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+
+
+def run_families(
+    out_dir: str = "parity",
+    steps: int = 3000,
+    batch: int = 16,
+    seed: int = 0,
+    stages: tuple = ("matrix", "pwc", "framegen", "completer"),
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import compose
+    from ..data.loader import DataLoader
+    from ..parallel import mesh as meshlib
+    from ..parallel.train import make_eval_step
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    mesh = meshlib.make_mesh()
+    results = {}
+    jf = out / "parity_families_r03.json"
+    if jf.exists():
+        results = json.loads(jf.read_text())
+    results.update(
+        {"device": str(jax.devices()[0]), "n_devices": int(mesh.devices.size)}
+    )
+    rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------ MatrixFlow
+    if "matrix" in stages:
+        from ..algorithms.matrix_flow import MatrixFlow
+        from ..data.artificial import ArtificialDataset
+
+        print("[families] MatrixFlow goal=filter_pred on ArtificialDataset")
+        cfg = compose([
+            "experiment=matrix_flow", "dataset=artificial",
+            "dataset.image_size=32", "dataset.size=4096", "+dataset.seed=7",
+            "algorithm=matrix_flow", "algorithm.image_size=32,32",
+            "algorithm.goal=filter_pred", "algorithm.radius=3",
+            "algorithm.lr=2e-4",
+        ])
+        train_loader = DataLoader(
+            ArtificialDataset(cfg.dataset, split="training"),
+            batch_size=batch, shuffle=True, seed=seed,
+        )
+        val_loader = DataLoader(
+            ArtificialDataset(cfg.dataset, split="validation"),
+            batch_size=8, shuffle=False, seed=seed,
+        )
+        algo = MatrixFlow(cfg.algorithm)
+        val_step = make_eval_step(algo.val_step, mesh)
+        state0 = algo.init(rng, next(iter(train_loader)), clip=100)
+        init_m, _, _ = _val_avg(algo, state0, val_loader, rng,
+                                n_batches=2, val_step=val_step)
+        del state0
+        state, curve, perf = _train(algo, train_loader, mesh, rng, steps,
+                                    clip=100)
+        final_m, arts, batch0 = _val_avg(algo, state, val_loader, rng,
+                                         val_step=val_step)
+        visuals = _save_all_visuals(algo, batch0, arts, out, "matrix_flow")
+        results["matrix_flow_filter_pred"] = dict(
+            steps=steps, init=init_m, final=final_m, loss_curve=curve,
+            perf=perf, visuals=visuals,
+        )
+        print(f"[families] matrix_flow: {json.dumps(final_m)}")
+        del state
+        _flush(out, results)
+
+    # ------------------------------------------------------------ PWCLearner
+    if "pwc" in stages:
+        from ..algorithms.pwc_learner import PWCLearner
+        from ..data.artificial_video import ArtificialVideoDataset
+
+        print("[families] PWCLearner (3-frame) on constant-velocity video")
+        cfg = compose([
+            "experiment=matrix_flow", "dataset=artificial_video",
+            "dataset.image_size=64", "dataset.size=4096",
+            "dataset.val_length=2", "+dataset.max_motion=2",
+            "algorithm=pwc_learner", "algorithm.lr=1e-4",
+        ])
+
+        class ThreeFrame:
+            """(f1, f2, f3, gt fwd flow on f2) from consecutive video
+            stacks: stack t = [frame(t+1), frame(t), flow(t->t+1)]."""
+
+            def __init__(self, seed_off: int):
+                c = dict(cfg.dataset)
+                c["seed"] = seed + seed_off
+                from ..config import Config
+
+                self.ds = ArtificialVideoDataset(
+                    Config(c), split="validation"
+                )
+
+            def __len__(self):
+                return len(self.ds)
+
+            def __getitem__(self, i):
+                stack = self.ds[i][0]  # (2, H, W, 8)
+                f1 = stack[0, ..., 3:6]
+                f2 = stack[1, ..., 3:6]
+                f3 = stack[1, ..., :3]
+                flow = stack[1, ..., 6:8]
+                return f1, f2, f3, flow
+
+        train_loader = DataLoader(ThreeFrame(0), batch_size=8, shuffle=True,
+                                  seed=seed)
+        val_loader = DataLoader(ThreeFrame(1000), batch_size=8,
+                                shuffle=False, seed=seed)
+        algo = PWCLearner(cfg.algorithm)
+        val_step = make_eval_step(algo.val_step, mesh)
+        state0 = algo.init(rng, next(iter(train_loader)), clip=100)
+        init_m, _, _ = _val_avg(algo, state0, val_loader, rng,
+                                n_batches=2, val_step=val_step)
+        del state0
+        state, curve, perf = _train(algo, train_loader, mesh, rng, steps,
+                                    clip=100)
+        final_m, arts, batch0 = _val_avg(algo, state, val_loader, rng,
+                                         val_step=val_step)
+        final_m.update(_flow_epe_split(np.asarray(arts["flow_fwd"]),
+                                       np.asarray(batch0[3])))
+        visuals = _save_all_visuals(algo, batch0, arts, out, "pwc_learner")
+        results["pwc_learner"] = dict(
+            steps=steps, init=init_m, final=final_m, loss_curve=curve,
+            perf=perf, visuals=visuals,
+        )
+        print(f"[families] pwc_learner: {json.dumps(final_m)}")
+        del state
+        _flush(out, results)
+
+    # --------------------------------------------------------- FrameGenerator
+    if "framegen" in stages:
+        from ..algorithms.animation import FrameGenerator
+        from ..data.artificial_video import ArtificialVideoDataset
+
+        print("[families] FrameGenerator rollout on constant-velocity video")
+        cfg = compose([
+            "experiment=animation", "dataset=artificial_video",
+            "dataset.image_size=32", "dataset.size=4096",
+            "dataset.val_length=5",
+            "algorithm=frame_generator", "algorithm.image_size=32",
+            "algorithm.lr=2e-4", "+algorithm.sampling_timesteps=50",
+        ])
+        train_loader = DataLoader(
+            ArtificialVideoDataset(cfg.dataset, split="training"),
+            batch_size=batch, shuffle=True, seed=seed,
+        )
+        val_loader = DataLoader(
+            ArtificialVideoDataset(cfg.dataset, split="validation"),
+            batch_size=8, shuffle=False, seed=seed,
+        )
+        algo = FrameGenerator(cfg.algorithm)
+        val_step = make_eval_step(algo.val_step, mesh)
+        state0 = algo.init(rng, next(iter(train_loader)), clip=100)
+        init_m, init_arts, init_b = _val_avg(algo, state0, val_loader, rng,
+                                             n_batches=1, val_step=val_step)
+        init_m.update(_rollout_scores(init_arts, init_b))
+        del state0
+        state, curve, perf = _train(algo, train_loader, mesh, rng, steps,
+                                    clip=100)
+        final_m, arts, batch0 = _val_avg(algo, state, val_loader, rng,
+                                         n_batches=2, val_step=val_step)
+        final_m.update(_rollout_scores(arts, batch0))
+        visuals = _save_all_visuals(algo, batch0, arts, out, "frame_generator")
+        results["frame_generator"] = dict(
+            steps=steps, init=init_m, final=final_m, loss_curve=curve,
+            perf=perf, visuals=visuals,
+        )
+        print(f"[families] frame_generator: {json.dumps(final_m)}")
+        del state
+        _flush(out, results)
+
+    # ---------------------------------------------------------- FlowCompleter
+    if "completer" in stages:
+        from ..algorithms.animation import FlowCompleter
+        from ..data.artificial_video import ArtificialVideoDataset
+
+        print("[families] FlowCompleter sparse->dense on synthetic video")
+        cfg = compose([
+            "experiment=animation", "dataset=artificial_video",
+            "dataset.image_size=32", "dataset.size=4096",
+            "dataset.val_length=2", "+dataset.max_motion=2",
+            "algorithm=flow_completer", "algorithm.image_size=32",
+            "algorithm.lr=2e-4",
+        ])
+        train_loader = DataLoader(
+            ArtificialVideoDataset(cfg.dataset, split="training"),
+            batch_size=batch, shuffle=True, seed=seed,
+        )
+        val_loader = DataLoader(
+            ArtificialVideoDataset(cfg.dataset, split="validation"),
+            batch_size=8, shuffle=False, seed=seed,
+        )
+        algo = FlowCompleter(cfg.algorithm)
+        val_step = make_eval_step(algo.val_step, mesh)
+        state0 = algo.init(rng, next(iter(train_loader)), clip=100)
+        init_m, _, _ = _val_avg(algo, state0, val_loader, rng,
+                                n_batches=2, val_step=val_step)
+        init_m.update(_completer_density_sweep(algo, state0.params,
+                                               val_loader))
+        del state0
+        state, curve, perf = _train(algo, train_loader, mesh, rng, steps,
+                                    clip=100)
+        final_m, arts, batch0 = _val_avg(algo, state, val_loader, rng,
+                                         val_step=val_step)
+        final_m.update(_completer_density_sweep(algo, state.params,
+                                                val_loader))
+        x = batch0[0]
+        x = x[:, 0] if x.ndim == 5 else x
+        final_m.update(_flow_epe_split(np.asarray(arts["out"]),
+                                       np.asarray(x[..., -2:])))
+        visuals = _save_all_visuals(algo, batch0, arts, out, "flow_completer")
+        results["flow_completer"] = dict(
+            steps=steps, init=init_m, final=final_m, loss_curve=curve,
+            perf=perf, visuals=visuals,
+        )
+        print(f"[families] flow_completer: {json.dumps(final_m)}")
+        del state
+        _flush(out, results)
+
+    _flush(out, results)
+    _write_report(out, results)
+    return results
+
+
+def _flow_epe_split(pred: np.ndarray, gt: np.ndarray) -> dict:
+    """Global / moving-pixel / static EPE + the zero-flow baselines.  The
+    global mean is dominated by the static background on synthetic scenes;
+    the load-bearing comparison is epe_moving vs zero_flow_epe_moving
+    (PARITY_r02 reading convention)."""
+    err = np.sqrt(((pred - gt) ** 2).sum(-1) + 1e-12)
+    mag = np.sqrt((gt ** 2).sum(-1) + 1e-12)
+    moving = mag > 0.5
+    return dict(
+        zero_flow_epe=float(mag.mean()),
+        epe_moving=float(err[moving].mean()) if moving.any() else float("nan"),
+        epe_static=float(err[~moving].mean()) if (~moving).any() else float("nan"),
+        zero_flow_epe_moving=(
+            float(mag[moving].mean()) if moving.any() else float("nan")
+        ),
+        moving_frac=float(moving.mean()),
+    )
+
+
+def _rollout_scores(arts, batch) -> dict:
+    """Per-step autoregressive rollout MSE vs the GT continuation, plus the
+    copy-the-conditioning-frame baseline (reference diffusion_animation.py:
+    84-92 logs the rollout video; this scores it)."""
+    if arts is None or "rollout" not in arts:
+        return {}
+    ro = np.clip(np.asarray(arts["rollout"]), 0, 1)  # (B,T,H,W,3) sampled
+    gt = np.asarray(arts["rollout_gt"])  # (B,T,H,W,3) target frames
+    x = np.asarray(batch[0])  # (B,T,H,W,8)
+    last = x[..., 3:6]  # GT conditioning frame at each step
+    out = {}
+    per_step = ((ro - gt) ** 2).mean(axis=(0, 2, 3, 4))
+    base_step = ((last - gt) ** 2).mean(axis=(0, 2, 3, 4))
+    out["rollout_mse"] = float(per_step.mean())
+    out["rollout_mse_copy_baseline"] = float(base_step.mean())
+    out["rollout_mse_per_step"] = [float(v) for v in per_step]
+    out["rollout_mse_copy_per_step"] = [float(v) for v in base_step]
+    return out
+
+
+def _completer_density_sweep(algo, params, val_loader, ks=(1, 4, 9),
+                             n_batches=4) -> dict:
+    """Dense-flow EPE as a function of the number of sparse samples given:
+    deterministic top-k-by-magnitude picks (the informative ones), the rest
+    filled with the learned null embedding — matching the reference's
+    magnitude-weighted sampler in expectation."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def complete(params, x, k_onehot):
+        dense = x[..., -2:]
+        frame = x[..., 3:6]
+        B, H, W, _ = dense.shape
+        mags = jnp.linalg.norm(dense, axis=-1).reshape(B, -1)
+        _, picked = jax.lax.top_k(mags, 9)
+        keep = k_onehot[None, :]  # (1, 9) 0/1 mask of first-k picks
+        mask = jnp.zeros((B, H * W), jnp.float32)
+        mask = jax.vmap(lambda m, p, kk: m.at[p].max(kk))(
+            mask, picked, jnp.broadcast_to(keep, picked.shape).astype(jnp.float32)
+        )
+        mask = mask.reshape(B, H, W, 1)
+        null = params["null_embedding"]
+        sparse = mask * dense + (1 - mask) * null[None, None, None, :]
+        out = algo.module.apply({"params": params["net"]}, sparse, frame)
+        return jnp.sqrt(((out - dense) ** 2).sum(-1) + 1e-12).mean()
+
+    scores = {}
+    for k in ks:
+        k_onehot = jnp.asarray(np.arange(9) < k, jnp.float32)
+        tot, n = 0.0, 0
+        for i, b in enumerate(val_loader):
+            if i >= n_batches:
+                break
+            x = b[0]
+            x = x[:, 0] if x.ndim == 5 else x
+            tot += float(complete(params, jnp.asarray(x), k_onehot))
+            n += 1
+        scores[f"epe_at_k{k}"] = tot / max(n, 1)
+    return scores
+
+
+def _write_report(out: Path, r: dict) -> None:
+    mf, pw = r.get("matrix_flow_filter_pred"), r.get("pwc_learner")
+    fg, fc = r.get("frame_generator"), r.get("flow_completer")
+
+    def g(d, phase, key, fmt="{:.4f}"):
+        if d is None:
+            return "—"
+        v = d[phase].get(key)
+        return fmt.format(v) if v is not None else "—"
+
+    mf_block = "" if mf is None else f"""## MatrixFlow (goal=filter_pred, radius=3)
+
+Unsupervised per-pixel filter matrices trained against the reference
+objective (matrix_flow.py:352-488); scored against the reference's own
+opt-loss oracles — the loss/photometric achieved by the OPTIMAL filter
+derived from GT flow (matrix_flow.py:477-488, `filter_from_vector(flow)`):
+
+| metric | @init | trained | optimal-filter oracle |
+|---|---|---|---|
+| val/loss | {g(mf, 'init', 'val/loss')} | {g(mf, 'final', 'val/loss')} | {g(mf, 'final', 'val/opt_loss')} |
+| val/photometric | {g(mf, 'init', 'val/photometric')} | {g(mf, 'final', 'val/photometric')} | {g(mf, 'final', 'val/opt_photo')} |
+| val/flow_err (mean-flow MSE vs GT) | {g(mf, 'init', 'val/flow_err')} | {g(mf, 'final', 'val/flow_err')} | — |
+| val/mode_photometric | {g(mf, 'init', 'val/mode_photometric')} | {g(mf, 'final', 'val/mode_photometric')} | — |
+
+({mf['steps']} steps @ {mf['perf']['steps_per_sec']:.1f} steps/s.)
+"""
+
+    pw_block = "" if pw is None else f"""## PWCLearner (unsupervised 3-frame)
+
+Real past/present/future frames from constant-velocity synthetic video
+(so the constant-velocity prior in the loss is exact), reference loss
+library (losses.py:3-66) over 5 pyramid levels:
+
+| metric | @init | trained | zero-flow baseline |
+|---|---|---|---|
+| val/loss | {g(pw, 'init', 'val/loss')} | {g(pw, 'final', 'val/loss')} | — |
+| val/epe (full-res fwd flow) | {g(pw, 'init', 'val/epe')} | {g(pw, 'final', 'val/epe')} | {g(pw, 'final', 'zero_flow_epe')} |
+| EPE on moving pixels | — | {g(pw, 'final', 'epe_moving')} | {g(pw, 'final', 'zero_flow_epe_moving')} |
+| EPE on static pixels | — | {g(pw, 'final', 'epe_static')} | 0 |
+
+({pw['steps']} steps @ {pw['perf']['steps_per_sec']:.1f} steps/s.)
+"""
+
+    fg_block = "" if fg is None else f"""## FrameGenerator (autoregressive rollout)
+
+Conditional next-frame DDPM; validation rolls the model out over 5 frames
+feeding each sample back as conditioning (diffusion_animation.py:84-92) on
+held-out constant-velocity sequences.  Rollout MSE vs the GT continuation;
+the copy baseline repeats the conditioning frame (= the error a
+no-motion generator makes):
+
+| metric | @init | trained |
+|---|---|---|
+| val/loss (diffusion) | {g(fg, 'init', 'val/loss')} | {g(fg, 'final', 'val/loss')} |
+| rollout MSE (mean over 5 steps) | {g(fg, 'init', 'rollout_mse')} | {g(fg, 'final', 'rollout_mse')} |
+| copy-conditioning-frame baseline | {g(fg, 'final', 'rollout_mse_copy_baseline')} | {g(fg, 'final', 'rollout_mse_copy_baseline')} |
+
+Per-step trained rollout MSE (error accumulation over the autoregressive
+feedback): {fg['final'].get('rollout_mse_per_step')}
+vs copy baseline {fg['final'].get('rollout_mse_copy_per_step')}.
+({fg['steps']} steps @ {fg['perf']['steps_per_sec']:.1f} steps/s; DDIM-50
+sampling per rollout step.)
+"""
+
+    fc_block = "" if fc is None else f"""## FlowCompleter (sparse->dense completion)
+
+Dense flow reconstructed from k magnitude-weighted sparse samples + the
+frame (diffusion_animation.py:127-247); EPE of the completed dense field
+vs GT as a function of k (top-k-by-magnitude picks, learned null embedding
+elsewhere):
+
+| metric | @init | trained |
+|---|---|---|
+| val/loss (magnitude-weighted MSE) | {g(fc, 'init', 'val/loss')} | {g(fc, 'final', 'val/loss')} |
+| dense EPE, k=1 | {g(fc, 'init', 'epe_at_k1')} | {g(fc, 'final', 'epe_at_k1')} |
+| dense EPE, k=4 | {g(fc, 'init', 'epe_at_k4')} | {g(fc, 'final', 'epe_at_k4')} |
+| dense EPE, k=9 | {g(fc, 'init', 'epe_at_k9')} | {g(fc, 'final', 'epe_at_k9')} |
+| zero-flow EPE baseline | — | {g(fc, 'final', 'zero_flow_epe')} |
+| EPE on moving pixels (random k) | — | {g(fc, 'final', 'epe_moving')} |
+| moving zero-flow baseline | — | {g(fc, 'final', 'zero_flow_epe_moving')} |
+
+({fc['steps']} steps @ {fc['perf']['steps_per_sec']:.1f} steps/s.)
+"""
+
+    text = f"""# PARITY (families) r03 — trained evidence for the remaining algorithm families
+
+Device: {r.get('device')} ({r.get('n_devices')} in mesh).  Produced by
+`python -m opticalflowdiffusion_tpu.training.parity_families`; raw numbers
+in `parity_families_r03.json`, sample grids alongside.  Flagship
+FlowDiffuser/FlowLearner/AE evidence lives in PARITY_r02.md (r2) and the
+merged stages of parity_r02.json.
+
+{mf_block}
+{pw_block}
+{fg_block}
+{fc_block}
+"""
+    (out / "PARITY_families_r03.md").write_text(text)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="parity")
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--stages", default="matrix,pwc,framegen,completer")
+    ap.add_argument("--report-only", action="store_true")
+    args = ap.parse_args()
+    if args.report_only:
+        out = Path(args.out_dir)
+        _write_report(
+            out, json.loads((out / "parity_families_r03.json").read_text())
+        )
+        print(f"[families] report at {out / 'PARITY_families_r03.md'}")
+        return
+    run_families(
+        out_dir=args.out_dir, steps=args.steps, batch=args.batch,
+        stages=tuple(args.stages.split(",")),
+    )
+
+
+if __name__ == "__main__":
+    main()
+
+
+__all__ = ["run_families"]
