@@ -64,8 +64,34 @@ def _build_sampler(image_size: int, batch: int, timesteps: int, precision: str):
     return run, params, cond
 
 
+PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16 MXU peak
+
+
+def _xla_flops(jitted, *args) -> float:
+    """Total FLOPs of a jitted program from XLA's cost analysis (one AOT
+    compile shared with the timing run when used via lower/compile)."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _mfu(flops: float, dt: float) -> float:
+    """Model FLOPs utilization vs this chip's peak (VERDICT r2 #7)."""
+    import jax
+
+    peak = PEAK_FLOPS.get(jax.devices()[0].platform)
+    if not peak or flops <= 0.0 or dt <= 0.0:
+        return 0.0
+    return flops / dt / peak
+
+
 def _steps_per_sec(image_size: int, batch: int, timesteps: int,
-                   precision: str, repeats: int = 2) -> float:
+                   precision: str, repeats: int = 2,
+                   mfu_out: dict = None) -> float:
     import jax
 
     run, params, cond = _build_sampler(image_size, batch, timesteps, precision)
@@ -76,11 +102,13 @@ def _steps_per_sec(image_size: int, batch: int, timesteps: int,
         t0 = time.perf_counter()
         float(run(params, cond, rng))  # host readback forces completion
         best = min(best, time.perf_counter() - t0)
+    if mfu_out is not None:
+        mfu_out["mfu"] = round(_mfu(_xla_flops(run, params, cond, rng), best), 4)
     return timesteps / best
 
 
 def _make_algo(image_size: int, timesteps: int, precision: str,
-               sampling_timesteps=None):
+               sampling_timesteps=None, remat: bool = False):
     from opticalflowdiffusion_tpu.algorithms.flow_diffuser import FlowDiffuser
     from opticalflowdiffusion_tpu.config import compose
 
@@ -94,22 +122,26 @@ def _make_algo(image_size: int, timesteps: int, precision: str,
     ]
     if sampling_timesteps:
         overrides.append(f"algorithm.sampling_timesteps={sampling_timesteps}")
+    if remat:
+        overrides.append("+algorithm._remat=true")
     return FlowDiffuser(compose(overrides).algorithm)
 
 
 def _train_samples_per_sec(image_size: int, batch: int, timesteps: int,
                            precision: str, steps: int = 10,
-                           H: int = None, W: int = None) -> float:
+                           H: int = None, W: int = None,
+                           remat: bool = False) -> float:
     """Full train step (loss + grads + Adam) samples/sec, synthetic batch.
     H, W override the square image_size batch shape (e.g. 256x512 for the
-    full-res Sintel train row, smoke-ladder step 3)."""
+    full-res Sintel train row, smoke-ladder step 3; 448x1024 + remat for
+    the native-res row)."""
     import jax
     import numpy as np
 
     from opticalflowdiffusion_tpu.parallel import mesh as meshlib
     from opticalflowdiffusion_tpu.parallel.train import make_train_step
 
-    algo = _make_algo(image_size, timesteps, precision)
+    algo = _make_algo(image_size, timesteps, precision, remat=remat)
     H = H or image_size
     W = W or image_size
     rng = np.random.default_rng(0)
@@ -226,7 +258,8 @@ def _flow_learner_train_samples_per_sec(precision: str = "float32",
 def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
                                 ddim_steps: int = 50,
                                 H: int = 256, W: int = 512,
-                                sampler: str = "ddim") -> float:
+                                sampler: str = "ddim",
+                                mfu_out: dict = None) -> float:
     """Sintel few-step sampling frames/sec.  Default H, W is the
     reference config resolution (dataset/sintel.yaml 512x256); pass
     H=448, W=1024 for the native 1024x436 frame padded to the UNet's /8
@@ -261,6 +294,8 @@ def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
         t0 = time.perf_counter()
         float(run(params, cond, rng))
         best = min(best, time.perf_counter() - t0)
+    if mfu_out is not None:
+        mfu_out["mfu"] = round(_mfu(_xla_flops(run, params, cond, rng), best), 4)
     return batch / best
 
 
@@ -289,7 +324,9 @@ def main():
     timesteps = int(os.environ.get("BENCH_TIMESTEPS", "250"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
 
-    device_sps = _steps_per_sec(image_size, batch, timesteps, precision)
+    headline_mfu = {}
+    device_sps = _steps_per_sec(image_size, batch, timesteps, precision,
+                                mfu_out=headline_mfu)
 
     try:
         cpu_sps = _cpu_baseline(image_size, batch)
@@ -340,15 +377,29 @@ def main():
         except Exception as e:
             extra["sintel_train_samples_per_sec_error"] = repr(e)[:200]
         try:
+            native_mfu = {}
             extra["sintel_native_ddim50_frames_per_sec"] = round(
                 _sintel_ddim_frames_per_sec(
                     precision,
                     batch=int(os.environ.get("BENCH_SINTEL_NATIVE_BATCH", "2")),
-                    H=448, W=1024,
+                    H=448, W=1024, mfu_out=native_mfu,
+                ), 3
+            )
+            if native_mfu.get("mfu"):
+                extra["mfu_native"] = native_mfu["mfu"]
+        except Exception as e:
+            extra["sintel_native_ddim50_frames_per_sec_error"] = repr(e)[:200]
+        try:
+            # native-res TRAINING (remat path, algorithms/flow_diffuser.py
+            # _remat — the config the rematerialization exists for)
+            extra["sintel_native_train_samples_per_sec"] = round(
+                _train_samples_per_sec(
+                    image_size, 2, timesteps, precision, steps=3,
+                    H=448, W=1024, remat=True,
                 ), 3
             )
         except Exception as e:
-            extra["sintel_native_ddim50_frames_per_sec_error"] = repr(e)[:200]
+            extra["sintel_native_train_samples_per_sec_error"] = repr(e)[:200]
         try:
             extra["video256_train_samples_per_sec"] = round(
                 _video_train_samples_per_sec(precision), 2
@@ -368,6 +419,8 @@ def main():
         except Exception as e:
             extra["flow_learner_bf16_train_samples_per_sec_error"] = repr(e)[:200]
 
+    if headline_mfu.get("mfu"):
+        extra["mfu_headline"] = headline_mfu["mfu"]
     print(
         json.dumps(
             {
