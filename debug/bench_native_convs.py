@@ -145,6 +145,23 @@ def main():
     dt = timed(lambda x, w: x @ w, x64, w1, iters=args.iters)
     report("dot 64->128 @448x1024 (1x1-equivalent)", dt, 2 * B * H * W * 64 * 128)
 
+    # --- pallas conv kernel vs the XLA rows above
+    from opticalflowdiffusion_tpu.ops import conv_pallas as cp
+
+    dt = timed(lambda x: cp._conv_pallas(x, k7), x9, iters=args.iters)
+    report("PALLAS stem conv 7x7 9->64", dt, 2 * B * H * W * 64 * 7 * 7 * 9)
+    dt = timed(lambda x: cp._conv_pallas(x, k3), x64, iters=args.iters)
+    report("PALLAS conv 3x3 64->64 @448x1024", dt, 2 * B * H * W * 64 * 64 * 9)
+    dt = timed(lambda x: cp._conv_pallas(x, k3_128), x64, iters=args.iters)
+    report("PALLAS conv 3x3 64->128 @448x1024", dt,
+           2 * B * H * W * 128 * 64 * 9)
+    dt = timed(lambda x: cp._conv_pallas(x, k128), x128, iters=args.iters)
+    report("PALLAS conv 3x3 128->128 @448x1024", dt,
+           2 * B * H * W * 128 * 128 * 9)
+    dt = timed(lambda x: cp._conv_pallas(x, k2), x2, iters=args.iters)
+    report("PALLAS conv 3x3 128->128 @224x512", dt,
+           2 * B * (H // 2) * (W // 2) * 128 * 128 * 9)
+
     # --- splat at native res (the UnetWithWarp warp)
     from opticalflowdiffusion_tpu.ops.warp import warp_forward_flow
     img = arr(B, H, W, 3, dtype=jnp.bfloat16)

@@ -62,7 +62,9 @@ def _build_fixture(name: str, root: Path) -> None:
     from opticalflowdiffusion_tpu.data import fixtures
 
     if name == "sintel":
-        fixtures.make_sintel_fixture(root, scenes=2, frames=8)
+        # >= 12 frames/scene so the scan fallback's 90/10 split (every 10th
+        # middle frame -> validation) yields a non-empty validation split
+        fixtures.make_sintel_fixture(root, scenes=2, frames=13)
     elif name == "chairs":
         fixtures.make_chairs_fixture(root, n=8)
     elif name == "kitti":
@@ -117,8 +119,13 @@ def _run_main(cwd: Path, env: dict, overrides: list, tag: str) -> float:
     return wall
 
 
-def rehearse(name: str, steps: int, workdir: Path) -> dict:
-    rec = RECIPES[name]
+def rehearse(name: str, steps: int, workdir: Path,
+             small: bool = False) -> dict:
+    rec = dict(RECIPES[name])
+    if small:
+        # CPU-feasible validation of the SAME driver/loader path (the
+        # native-res PERF row runs on the chip without this flag)
+        rec["image_size"] = "64,32"
     data_root = workdir / "data"
     data_root.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
@@ -202,6 +209,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--keep", action="store_true",
                     help="keep the temp workdir")
+    ap.add_argument("--small", action="store_true",
+                    help="64x32 images (CPU-feasible driver validation)")
     ap.add_argument("--out", default=None,
                     help="append JSON results to this file")
     args = ap.parse_args()
@@ -211,7 +220,7 @@ def main():
         workdir = Path(tempfile.mkdtemp(prefix=f"rehearsal-{name}-"))
         print(f"[rehearsal] {name} in {workdir}")
         try:
-            res = rehearse(name, args.steps, workdir)
+            res = rehearse(name, args.steps, workdir, small=args.small)
         except Exception as e:  # keep going; report the failure
             res = dict(dataset=name, ok=False, error=repr(e)[:500])
         print(json.dumps(res))

@@ -24,6 +24,42 @@ from flax import linen as nn
 Array = jax.Array
 
 
+class Conv(nn.Module):
+    """Drop-in stride-1 'same' conv over ops/conv_pallas.conv2d_same.
+
+    Same class name, param names (kernel/bias) and init as flax ``nn.Conv``
+    so the auto-generated ``Conv_N`` checkpoint paths and the torch-import
+    mapping (utils/import_torch_ckpt.py) are unchanged — only the lowering
+    differs: the Pallas row-slab kernel on TPU at qualifying shapes, a
+    reshaped dot for 1x1, XLA conv otherwise (measured rationale in
+    ops/conv_pallas.py).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    padding: object = "SAME"  # accepted for signature-compat; always same
+    use_bias: bool = True
+    kernel_init: object = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.conv_pallas import conv2d_same
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = conv2d_same(x.astype(self.dtype), kernel)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class WSConv(nn.Module):
     """Weight-standardized conv (reference denoising_diffusion.py:101-114)."""
 
@@ -33,6 +69,8 @@ class WSConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from ..ops.conv_pallas import conv2d_same
+
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param(
@@ -46,13 +84,7 @@ class WSConv(nn.Module):
         mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
         kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        y = conv2d_same(x.astype(self.dtype), kernel.astype(self.dtype))
         return y + bias.astype(self.dtype)
 
 
@@ -146,7 +178,7 @@ class ResnetBlock(nn.Module):
         h = Block(self.dim_out, dtype=self.dtype)(x, scale_shift)
         h = Block(self.dim_out, dtype=self.dtype)(h)
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+            x = Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
         return h + x
 
 
@@ -169,12 +201,12 @@ class LinearAttention(nn.Module):
 
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        qkv = Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
         out = linear_attention_middle(
             qkv.reshape(B, H * W, 3 * hidden), self.heads, self.dim_head
         )
         out = out.reshape(B, H, W, hidden).astype(self.dtype)
-        out = nn.Conv(C, (1, 1), dtype=self.dtype)(out)
+        out = Conv(C, (1, 1), dtype=self.dtype)(out)
         return ChanLayerNorm(dtype=self.dtype)(out)
 
 
@@ -197,13 +229,13 @@ class Attention(nn.Module):
 
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        qkv = Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
         qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = q * (self.dim_head ** -0.5)
         out = attention_middle(q, k, v)
         out = out.reshape(B, H, W, hidden)
-        return nn.Conv(C, (1, 1), dtype=self.dtype)(out)
+        return Conv(C, (1, 1), dtype=self.dtype)(out)
 
 
 class PreNormResidual(nn.Module):
@@ -290,7 +322,7 @@ class Downsample(nn.Module):
         B, H, W, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
-        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+        return Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
 
 
 class Upsample(nn.Module):
@@ -303,7 +335,7 @@ class Upsample(nn.Module):
     def __call__(self, x: Array) -> Array:
         B, H, W, C = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
+        return Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
 
 
 class Unet(nn.Module):
@@ -344,7 +376,7 @@ class Unet(nn.Module):
             x = jnp.concatenate([x_self_cond, x], axis=-1)
 
         init_dim = self.init_dim or self.dim
-        x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype)(
+        x = Conv(init_dim, (7, 7), padding=3, dtype=self.dtype)(
             x.astype(self.dtype)
         )
         r = x
@@ -383,7 +415,7 @@ class Unet(nn.Module):
             if not is_last:
                 x = Downsample(dim_out, dtype=self.dtype)(x)
             else:
-                x = nn.Conv(dim_out, (3, 3), dtype=self.dtype)(x)
+                x = Conv(dim_out, (3, 3), dtype=self.dtype)(x)
 
         mid_dim = dims[-1]
         x = ResnetBlock(mid_dim, self.resnet_block_groups, self.dtype)(x, t)
@@ -400,7 +432,7 @@ class Unet(nn.Module):
             if not is_last:
                 x = Upsample(dim_in, dtype=self.dtype)(x)
             else:
-                x = nn.Conv(dim_in, (3, 3), dtype=self.dtype)(x)
+                x = Conv(dim_in, (3, 3), dtype=self.dtype)(x)
 
         x = jnp.concatenate([x, r], axis=-1)
         x = ResnetBlock(self.dim, self.resnet_block_groups, self.dtype)(x, t)
@@ -409,7 +441,7 @@ class Unet(nn.Module):
         kernel_init = (
             nn.initializers.zeros if self.zero_init_final else nn.initializers.lecun_normal()
         )
-        x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, kernel_init=kernel_init)(x)
+        x = Conv(out_dim, (1, 1), dtype=self.dtype, kernel_init=kernel_init)(x)
         return x.astype(jnp.float32)
 
 

@@ -206,6 +206,7 @@ def run_parity(
     ae_steps: int = 3000,
     stages: tuple = ("joint", "flow", "flowloss", "latent", "learner"),
     merge: bool = False,
+    tag: str = "r03",
 ) -> dict:
     import jax
 
@@ -221,9 +222,13 @@ def run_parity(
     out.mkdir(parents=True, exist_ok=True)
     mesh = meshlib.make_mesh()
     results = {}
-    if merge and (out / "parity_r02.json").exists():
-        # re-run a subset of stages on top of an existing artifact set
-        results = json.loads((out / "parity_r02.json").read_text())
+    if merge:
+        # re-run a subset of stages on top of an existing result set — this
+        # round's file if present, else the newest previous round's
+        for base in sorted(out.glob("parity_r*.json"), reverse=True):
+            results = json.loads(base.read_text())
+            print(f"[parity] merging onto {base.name}")
+            break
     results.update(
         {"device": str(jax.devices()[0]), "n_devices": mesh.devices.size}
     )
@@ -286,7 +291,7 @@ def run_parity(
         del state
         # incremental flush: a later-stage failure must not lose finished
         # stages' results
-        with open(out / "parity_r02.json", "w") as fh:
+        with open(out / f"parity_{tag}.json", "w") as fh:
             json.dump(results, fh, indent=1)
 
     if "joint" in stages:
@@ -334,7 +339,7 @@ def run_parity(
             k: ae_res[k]
             for k in ("recon_mse", "recon_mse_init", "identity_mse", "steps")
         }
-        with open(out / "parity_r02.json", "w") as fh:
+        with open(out / f"parity_{tag}.json", "w") as fh:
             json.dump(results, fh, indent=1)
         diffuser_run(
             "joint", diffuser_steps // 2, "flow_diffuser_latent", seed + 3,
@@ -402,7 +407,7 @@ def run_parity(
         print(f"[parity] {key}: {json.dumps(final_metrics)} "
               f"(init epe {init_metrics.get('val/epe'):.3f})")
         del state
-        with open(out / "parity_r02.json", "w") as fh:
+        with open(out / f"parity_{tag}.json", "w") as fh:
             json.dump(results, fh, indent=1)
 
     if "learner" in stages:
@@ -422,9 +427,9 @@ def run_parity(
                     extra=["~algorithm.flow_max", "+algorithm.radius=3"],
                     flow_max=False)
 
-    with open(out / "parity_r02.json", "w") as fh:
+    with open(out / f"parity_{tag}.json", "w") as fh:
         json.dump(results, fh, indent=1)
-    _write_report(out, results)
+    _write_report(out, results, tag=tag)
     return results
 
 
@@ -456,7 +461,7 @@ def _frechet_block(r: dict) -> str:
     )
 
 
-def _write_report(out: Path, r: dict) -> None:
+def _write_report(out: Path, r: dict, tag: str = "r03") -> None:
     fd, fl = r.get("flow_diffuser"), r.get("flow_learner")
     if fd is None:
         # partial (non-merge) run without the flagship stage: keep the raw
@@ -589,11 +594,11 @@ image channels sample correctly (val/mse).
         if probe is not None else ""
     )
 
-    text = f"""# PARITY r02 — trained-model evidence
+    text = f"""# PARITY {tag} — trained-model evidence
 
 Device: {r['device']} ({r['n_devices']} in mesh).  Produced by
 `python -m opticalflowdiffusion_tpu.training.parity` (training/parity.py);
-raw numbers in `parity_r02.json`, sample grids alongside.
+raw numbers in `parity_{tag}.json`, sample grids alongside.
 
 All models trained on ArtificialDataset (exact integer GT flow, the
 BASELINE.md smoke-ladder step-1 config) with the production train step
@@ -649,9 +654,9 @@ turn beats zero/negated flow — i.e. the rebuild optimizes the reference's
 loss exactly as designed; the residual EPE gap on +-1 px synthetic motion
 is the objective's known photometric ambiguity (aperture + weight
 exploitation), not a port defect.
-Loss curves are in `parity_r02.json` (`loss_curve`: [step, loss] pairs).
+Loss curves are in `parity_{tag}.json` (`loss_curve`: [step, loss] pairs).
 """
-    (out / "PARITY_r02.md").write_text(text)
+    (out / f"PARITY_{tag}.md").write_text(text)
 
 
 def main():
@@ -668,15 +673,17 @@ def main():
                     help="comma list of joint,flow,flowloss,ancestral,latent,"
                          "flownoise,learner,learner_bf16,learner_filter")
     ap.add_argument("--merge", action="store_true",
-                    help="merge onto an existing parity_r02.json")
+                    help="merge onto the newest existing parity_r*.json")
+    ap.add_argument("--tag", default="r03",
+                    help="round tag for parity_<tag>.json / PARITY_<tag>.md")
     ap.add_argument("--report-only", action="store_true",
-                    help="regenerate PARITY_r02.md from parity_r02.json")
+                    help="regenerate PARITY_<tag>.md from parity_<tag>.json")
     args = ap.parse_args()
     if args.report_only:
         out = Path(args.out_dir)
-        r = json.loads((out / "parity_r02.json").read_text())
-        _write_report(out, r)
-        print(f"[parity] report regenerated at {out / 'PARITY_r02.md'}")
+        r = json.loads((out / f"parity_{args.tag}.json").read_text())
+        _write_report(out, r, tag=args.tag)
+        print(f"[parity] report regenerated at {out / ('PARITY_' + args.tag + '.md')}")
         return
     run_parity(
         out_dir=args.out_dir, diffuser_steps=args.diffuser_steps,
@@ -685,6 +692,7 @@ def main():
         sampling_timesteps=args.sampling_timesteps,
         latent=not args.no_latent, ae_steps=args.ae_steps,
         stages=tuple(args.stages.split(",")), merge=args.merge,
+        tag=args.tag,
     )
 
 

@@ -214,7 +214,7 @@ def run_families(
         cfg = compose([
             "experiment=animation", "dataset=artificial_video",
             "dataset.image_size=32", "dataset.size=4096",
-            "dataset.val_length=5",
+            "dataset.val_length=5", "+dataset.max_motion=2",
             "algorithm=frame_generator", "algorithm.image_size=32",
             "algorithm.lr=2e-4", "+algorithm.sampling_timesteps=50",
         ])
