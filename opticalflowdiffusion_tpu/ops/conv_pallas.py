@@ -183,7 +183,12 @@ def _fold_plan(C: int, Cout: int, W: int, kw: int) -> Tuple[int, int, int]:
         t0 = -((pw + F - 1) // F)  # floor(-pw / F)
         t1 = (F - 1 + kw - 1 - pw) // F
         T = t1 - t0 + 1
-        cost = T * (-(-C * F // LANES)) * (-(-Cout * F // LANES)) / F
+        # primary: MXU passes per pixel; secondary: K underfill (measured:
+        # F=2 K=128 beats F=1 K=64 at equal pass count, 1.27x at 64->128)
+        cost = (
+            T * (-(-C * F // LANES)) * (-(-Cout * F // LANES)) / F,
+            max(0, LANES - min(C * F, LANES)),
+        )
         if best is None or cost < best[0]:
             best = (cost, F, t0, t1)
         F *= 2
@@ -236,7 +241,7 @@ def _fold_block_rows(H, W2p, C2, C2o, kh, T, cbytes) -> int:
 
 
 def _fold_kernel(xp_ref, xc_ref, xn_ref, w_ref, out_ref, *scratch, BH, W2p,
-                 kh, t0, T, cdt):
+                 kh, t0, T, cdt, norot=False):
     wbuf = scratch[0]
     tbs = scratch[1:-1]
     acc = scratch[-1]
@@ -266,7 +271,7 @@ def _fold_kernel(xp_ref, xc_ref, xn_ref, w_ref, out_ref, *scratch, BH, W2p,
     ti = 0
     for t_rel in range(T):
         u = t_rel + t0
-        if u == 0:
+        if u == 0 or norot:  # norot: timing diagnostic (wrong math)
             srcs[t_rel] = wbuf
             continue
         tb = tbs[ti]
@@ -289,11 +294,19 @@ def _fold_kernel(xp_ref, xc_ref, xn_ref, w_ref, out_ref, *scratch, BH, W2p,
     out_ref[0] = acc[:].reshape(BH, W2p, C2o).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _conv_fold(x: Array, kernel: Array, compute_dtype=jnp.bfloat16):
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "force_F", "norot")
+)
+def _conv_fold(x: Array, kernel: Array, compute_dtype=jnp.bfloat16,
+               force_F=None, norot=False):
     B, H, W, C = x.shape
     kh, kw, _, Cout = kernel.shape
     F, t0, t1 = _fold_plan(C, Cout, W, kw)
+    if force_F is not None:  # perf-diagnostic override
+        pw = kw // 2
+        F = force_F
+        t0 = -((pw + F - 1) // F)
+        t1 = (F - 1 + kw - 1 - pw) // F
     T = t1 - t0 + 1
     W2 = W // F
     C2, C2o = C * F, Cout * F
@@ -317,7 +330,7 @@ def _conv_fold(x: Array, kernel: Array, compute_dtype=jnp.bfloat16):
     out = pl.pallas_call(
         functools.partial(
             _fold_kernel, BH=BH, W2p=W2p, kh=kh, t0=t0, T=T,
-            cdt=compute_dtype,
+            cdt=compute_dtype, norot=norot,
         ),
         grid=(B, nH),
         in_specs=[
@@ -388,8 +401,7 @@ def _use_pallas(x, kernel) -> bool:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _conv_same(x: Array, kernel: Array) -> Array:
+def _dispatch(x: Array, kernel: Array) -> Array:
     backend = os.environ.get("OFD_CONV_BACKEND", "auto")
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -402,14 +414,27 @@ def _conv_same(x: Array, kernel: Array) -> Array:
     return _conv_xla(x, kernel)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _conv_same(x: Array, kernel: Array) -> Array:
+    return _dispatch(x, kernel)
+
+
 def _conv_same_fwd(x, kernel):
     return _conv_same(x, kernel), (x, kernel)
 
 
 def _conv_same_bwd(res, g):
     x, kernel = res
-    _, vjp = jax.vjp(_conv_xla, x, kernel)
-    return vjp(g.astype(x.dtype))
+    g = g.astype(x.dtype)
+    # dgrad: for a stride-1 'same' conv, dL/dx is itself a 'same' conv of g
+    # with the spatially-flipped, io-swapped kernel — so it takes the same
+    # fast TPU lowering as the forward.
+    wf = jnp.flip(kernel, (0, 1)).transpose(0, 1, 3, 2).astype(x.dtype)
+    dx = _dispatch(g, wf)
+    # wgrad: conv is linear in the kernel; transpose-evaluate without the
+    # wasted primal forward a jax.vjp would run.
+    dk = jax.linear_transpose(lambda k: _conv_xla(x, k), kernel)(g)[0]
+    return dx, dk.astype(kernel.dtype)
 
 
 _conv_same.defvjp(_conv_same_fwd, _conv_same_bwd)
