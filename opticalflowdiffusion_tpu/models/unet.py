@@ -68,7 +68,7 @@ class WSConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, in_affine=None) -> Array:
         from ..ops.conv_pallas import conv2d_same
 
         kh, kw = self.kernel_size
@@ -84,7 +84,8 @@ class WSConv(nn.Module):
         mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
         kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
-        y = conv2d_same(x.astype(self.dtype), kernel.astype(self.dtype))
+        y = conv2d_same(x.astype(self.dtype), kernel.astype(self.dtype),
+                        in_affine=in_affine)
         return y + bias.astype(self.dtype)
 
 
@@ -124,7 +125,7 @@ class GroupNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_affine: bool = False):
         C = x.shape[-1]
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
@@ -139,30 +140,58 @@ class GroupNorm(nn.Module):
         # per-(batch, channel) affine: out = x * a + b
         sc = scale.reshape(g, C // g)
         bi = bias.reshape(g, C // g)
-        a = (rstd[..., None] * sc).reshape(B, 1, 1, C)
-        b = (bi - (mu * rstd)[..., None] * sc).reshape(B, 1, 1, C)
-        return x.astype(jnp.float32) * a + b
+        a = (rstd[..., None] * sc).reshape(B, C)
+        b = (bi - (mu * rstd)[..., None] * sc).reshape(B, C)
+        if return_affine:
+            return a, b
+        return x.astype(jnp.float32) * a[:, None, None] + b[:, None, None]
 
 
 class Block(nn.Module):
-    """WSConv -> GroupNorm -> (scale, shift) -> SiLU (reference :172-188)."""
+    """WSConv -> GroupNorm -> (scale, shift) -> SiLU (reference :172-188).
+
+    Two fusion hooks keep the norm/act between consecutive convs out of HBM
+    (the step is memory-bound at native res): ``defer_norm=True`` returns
+    the raw conv output plus the per-(batch, channel) affine that the
+    GroupNorm + time scale/shift reduce to, and ``in_affine`` feeds such an
+    affine (+SiLU) into THIS block's conv slab load (ops/conv_pallas).
+    Param paths (WSConv_0/GroupNorm_0) and math are unchanged.
+    """
 
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None):
-        x = WSConv(self.dim_out, (3, 3), dtype=self.dtype)(x)
-        x = GroupNorm(num_groups=self.groups)(x).astype(self.dtype)
+    def __call__(self, x: Array,
+                 scale_shift: Optional[Tuple[Array, Array]] = None,
+                 in_affine: Optional[Tuple[Array, Array]] = None,
+                 defer_norm: bool = False):
+        h = WSConv(self.dim_out, (3, 3), dtype=self.dtype)(
+            x, in_affine=in_affine
+        )
+        gn = GroupNorm(num_groups=self.groups)
+        if defer_norm:
+            a, b = gn(h, return_affine=True)
+            if scale_shift is not None:
+                s, t = scale_shift
+                s32 = s.reshape(s.shape[0], -1).astype(jnp.float32) + 1.0
+                t32 = t.reshape(t.shape[0], -1).astype(jnp.float32)
+                a, b = a * s32, b * s32 + t32
+            return h, a, b
+        h = gn(h).astype(self.dtype)
         if scale_shift is not None:
             s, b = scale_shift
-            x = x * (s + 1.0) + b
-        return nn.silu(x)
+            h = h * (s + 1.0) + b
+        return nn.silu(h)
 
 
 class ResnetBlock(nn.Module):
-    """Two blocks + time scale/shift + 1x1 residual (reference :190-214)."""
+    """Two blocks + time scale/shift + 1x1 residual (reference :190-214).
+
+    Block1's norm/scale-shift/SiLU rides inside Block2's conv (see Block);
+    Block2's own norm+SiLU fuses with the residual add in XLA.
+    """
 
     dim_out: int
     groups: int = 8
@@ -175,8 +204,10 @@ class ResnetBlock(nn.Module):
             t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
             t = t[:, None, None, :]
             scale_shift = jnp.split(t, 2, axis=-1)
-        h = Block(self.dim_out, dtype=self.dtype)(x, scale_shift)
-        h = Block(self.dim_out, dtype=self.dtype)(h)
+        h, a, b = Block(self.dim_out, dtype=self.dtype)(
+            x, scale_shift, defer_norm=True
+        )
+        h = Block(self.dim_out, dtype=self.dtype)(h, in_affine=(a, b))
         if x.shape[-1] != self.dim_out:
             x = Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
         return h + x

@@ -226,9 +226,10 @@ def _fold_block_rows(H, W2p, C2, C2o, kh, T, cbytes) -> int:
     bh = 32
     while bh > 1:
         if H % bh == 0:
+            ph = kh // 2
             R = 16 + (bh + kh - 1) * W2p
             need = (
-                6 * bh * W2p * C2 * cbytes       # 3 input slabs, 2-buffered
+                2 * (bh + 2 * ph) * W2p * C2 * cbytes  # center+halo, 2-buf
                 + 2 * bh * W2p * C2o * cbytes    # output, 2-buffered
                 + R * C2 * cbytes * T            # flat slab + T-1 rotations
                 + bh * W2p * C2o * 4             # f32 accumulator
@@ -240,8 +241,18 @@ def _fold_block_rows(H, W2p, C2, C2o, kh, T, cbytes) -> int:
     return 1
 
 
-def _fold_kernel(xp_ref, xc_ref, xn_ref, w_ref, out_ref, *scratch, BH, W2p,
-                 kh, t0, T, cdt, norot=False):
+def _fold_kernel(xc_ref, hl_ref, w_ref, a_ref, b_ref, out_ref, *scratch,
+                 BH, W2p, W2, kh, t0, T, cdt, affine, silu, norot=False):
+    """One (batch, row-slab) grid step.
+
+    Flat slab rows: [0,8) head pad | ph*W2p top halo | BH*W2p center |
+    ph*W2p bottom halo | [?,R) tail pad.  Tap (dy, t) of output flat row q
+    reads slab row 8 + q + dy*W2p + t: dy offsets are W2p-multiples
+    (tile-aligned views); the T width shifts become whole-buffer sublane
+    rotations with wrap rows masked to zero (they are exactly the 'same'
+    conv's zero width boundary when W2p == W2, or land in pad columns
+    otherwise).
+    """
     wbuf = scratch[0]
     tbs = scratch[1:-1]
     acc = scratch[-1]
@@ -252,21 +263,34 @@ def _fold_kernel(xp_ref, xc_ref, xn_ref, w_ref, out_ref, *scratch, BH, W2p,
     OFF = 8
     C2o = out_ref.shape[-1]
 
-    wbuf[OFF + ph * W2p: OFF + (ph + BH) * W2p] = (
-        xc_ref[0].reshape(S, -1).astype(cdt)
-    )
-    if ph:
-        top = xp_ref[0, BH - ph:].reshape(ph * W2p, -1).astype(cdt)
-        wbuf[OFF: OFF + ph * W2p] = jnp.where(i > 0, top, 0)
-        bot = xn_ref[0, :ph].reshape(ph * W2p, -1).astype(cdt)
-        wbuf[OFF + (ph + BH) * W2p: OFF + (2 * ph + BH) * W2p] = (
-            jnp.where(i < nH - 1, bot, 0)
-        )
+    def put(rows, vals, keep=None):
+        if affine:
+            v32 = vals.astype(jnp.float32)
+            v32 = v32 * a_ref[0] + b_ref[0]
+            if silu:
+                v32 = v32 * jax.nn.sigmoid(v32)
+            vals = v32
+            if keep is not None:
+                # the transform maps the baked-zero image boundary to
+                # silu(b) != 0; re-zero it (only the affine path needs this,
+                # the halo tensor is already zero there)
+                vals = jnp.where(keep, vals, 0)
+        wbuf[OFF + rows[0]: OFF + rows[1]] = vals.astype(cdt)
 
-    # T-1 sublane rotations: tb_u[r] = wbuf[r + u].  The rotated copies'
-    # out-of-range head/tail rows hold garbage that only garbage (pad-column)
-    # outputs ever read.
+    put((ph * W2p, (ph + BH) * W2p), xc_ref[0].reshape(S, -1))
+    if ph:
+        put((0, ph * W2p), hl_ref[0, 0, :ph].reshape(ph * W2p, -1),
+            keep=i > 0)
+        put(((ph + BH) * W2p, (2 * ph + BH) * W2p),
+            hl_ref[0, 0, ph:].reshape(ph * W2p, -1), keep=i < nH - 1)
+
+    # T-1 sublane rotations: tb_u[r] = wbuf[r + u], with wrap rows (intended
+    # width column jp such that jp + u falls outside the row) zeroed — the
+    # 'same' conv zero boundary.
     R = wbuf.shape[0]
+    if T > 1:
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        col = (col - OFF) % W2p  # intended width column of each flat row
     srcs = {}
     ti = 0
     for t_rel in range(T):
@@ -277,9 +301,11 @@ def _fold_kernel(xp_ref, xc_ref, xn_ref, w_ref, out_ref, *scratch, BH, W2p,
         tb = tbs[ti]
         ti += 1
         if u > 0:
-            tb[0: R - u] = wbuf[u: R]
+            bad = col[: R - u] >= W2p - u
+            tb[0: R - u] = jnp.where(bad, 0, wbuf[u: R])
         else:
-            tb[-u: R] = wbuf[0: R + u]
+            bad = col[-u:] < -u
+            tb[-u: R] = jnp.where(bad, 0, wbuf[0: R + u])
         srcs[t_rel] = tb
 
     acc[:] = jnp.zeros_like(acc)
@@ -295,9 +321,10 @@ def _fold_kernel(xp_ref, xc_ref, xn_ref, w_ref, out_ref, *scratch, BH, W2p,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "force_F", "norot")
+    jax.jit, static_argnames=("compute_dtype", "silu", "force_F", "norot")
 )
 def _conv_fold(x: Array, kernel: Array, compute_dtype=jnp.bfloat16,
+               in_scale=None, in_bias=None, silu=False,
                force_F=None, norot=False):
     B, H, W, C = x.shape
     kh, kw, _, Cout = kernel.shape
@@ -311,34 +338,65 @@ def _conv_fold(x: Array, kernel: Array, compute_dtype=jnp.bfloat16,
     W2 = W // F
     C2, C2o = C * F, Cout * F
     nt_l = -t0
-    W2p = -(-(W2 + T - 1) // 8) * 8
+    # fast path: W2 already a sublane multiple -> no width pad, no output
+    # slice; the rotation wrap masking supplies the zero boundary.
+    nopad = W2 % 8 == 0
+    W2p = W2 if nopad else -(-(W2 + T - 1) // 8) * 8
     cbytes = 2 if compute_dtype == jnp.bfloat16 else 4
     BH = _fold_block_rows(H, W2p, C2, C2o, kh, T, cbytes)
     nH = H // BH
     ph = kh // 2
 
+    affine = in_scale is not None
+    if affine and not nopad:
+        # the padded path's zero pad columns cannot host the in-kernel
+        # transform (silu(b) != 0); apply it in XLA instead
+        x32 = x.astype(jnp.float32)
+        x32 = x32 * in_scale[:, None, None, :] + in_bias[:, None, None, :]
+        if silu:
+            x32 = jax.nn.silu(x32)
+        x = x32.astype(x.dtype)
+        affine = False
+
     xf = x.reshape(B, H, W2, C2)
-    xf = jnp.pad(xf, ((0, 0), (0, 0), (nt_l, W2p - W2 - nt_l), (0, 0)))
+    if not nopad:
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (nt_l, W2p - W2 - nt_l), (0, 0)))
     M = _fold_matrices(kernel, F, t0, t1)
 
-    blk = lambda off: pl.BlockSpec(
-        (1, BH, W2p, C2),
-        lambda b, i, off=off: (b, jnp.clip(i + off, 0, nH - 1), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    # baked-zero halo rows: (B, nH, 2ph, W2p, C2)
+    xr = xf.reshape(B, nH, BH, W2p, C2)
+    zrow = jnp.zeros((B, 1, ph, W2p, C2), xf.dtype)
+    halo = jnp.concatenate([
+        jnp.concatenate([zrow, xr[:, :-1, BH - ph:]], axis=1),
+        jnp.concatenate([xr[:, 1:, :ph], zrow], axis=1),
+    ], axis=2)
+
+    if affine:
+        # per-(batch, channel) input transform, folded to C2 lanes
+        av = jnp.tile(in_scale.astype(jnp.float32), (1, F))
+        bv = jnp.tile(in_bias.astype(jnp.float32), (1, F))
+    else:
+        av = jnp.zeros((B, C2), jnp.float32)
+        bv = av
+    vec = pl.BlockSpec((1, C2), lambda b, i: (b, 0),
+                       memory_space=pltpu.VMEM)
+
     R = 16 + (BH + kh - 1) * W2p
     out = pl.pallas_call(
         functools.partial(
-            _fold_kernel, BH=BH, W2p=W2p, kh=kh, t0=t0, T=T,
-            cdt=compute_dtype, norot=norot,
+            _fold_kernel, BH=BH, W2p=W2p, W2=W2, kh=kh, t0=t0, T=T,
+            cdt=compute_dtype, affine=affine, silu=silu, norot=norot,
         ),
         grid=(B, nH),
         in_specs=[
-            blk(-1), blk(0), blk(+1),
-            pl.BlockSpec(
-                (kh, T, C2, C2o), lambda b, i: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, BH, W2p, C2), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * ph, W2p, C2),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, T, C2, C2o), lambda b, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec,
         ],
         out_specs=pl.BlockSpec(
             (1, BH, W2p, C2o), lambda b, i: (b, i, 0, 0),
@@ -353,8 +411,9 @@ def _conv_fold(x: Array, kernel: Array, compute_dtype=jnp.bfloat16,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(xf, xf, xf, M)
-    out = jax.lax.slice_in_dim(out, nt_l, nt_l + W2, axis=2)
+    )(xf, halo, M, av, bv)
+    if not nopad:
+        out = jax.lax.slice_in_dim(out, nt_l, nt_l + W2, axis=2)
     return out.reshape(B, H, W, Cout)
 
 
@@ -365,7 +424,8 @@ def _use_fold(x, kernel) -> bool:
         return False
     F, t0, t1 = _fold_plan(C, Cout, W, kw)
     T = t1 - t0 + 1
-    W2p = -(-(W // F + T - 1) // 8) * 8
+    W2 = W // F
+    W2p = W2 if W2 % 8 == 0 else -(-(W2 + T - 1) // 8) * 8
     BH = _fold_block_rows(H, W2p, C * F, Cout * F, kh, T, 2)
     return BH >= kh // 2 and H % BH == 0
 
@@ -440,13 +500,81 @@ def _conv_same_bwd(res, g):
 _conv_same.defvjp(_conv_same_fwd, _conv_same_bwd)
 
 
-def conv2d_same(x: Array, kernel: Array) -> Array:
+# --- fused input-transform variant: y = conv(silu(x*a + b), k) ------------
+#
+# The UNet Block chain is conv -> GroupNorm -> (time scale/shift) -> SiLU ->
+# next conv (reference denoising_diffusion.py:172-214).  The normalize/
+# scale-shift/SiLU between two convs is a pure per-(batch, channel) affine +
+# SiLU once the GroupNorm statistics are reduced, so it can run inside the
+# next conv's slab load (VMEM-local) instead of as its own full HBM pass —
+# the dominant cost at native res, where the step is memory-bound.
+
+
+def _silu_affine_xla(x, kernel, a, b):
+    x32 = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    z = jax.nn.silu(x32).astype(x.dtype)
+    return _conv_xla(z, kernel)
+
+
+def _dispatch_gn(x, kernel, a, b):
+    backend = os.environ.get("OFD_CONV_BACKEND", "auto")
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    B, H, W, C = x.shape
+    if (backend in ("auto", "fold") and (on_tpu or backend == "fold")
+            and H % 2 == 0 and H * W >= 64 * 64 and _use_fold(x, kernel)):
+        return _conv_fold(x, kernel, compute_dtype=cdt,
+                          in_scale=a, in_bias=b, silu=True)
+    return _silu_affine_xla(x, kernel, a, b)
+
+
+@jax.custom_vjp
+def _conv_same_gn(x: Array, kernel: Array, a: Array, b: Array) -> Array:
+    return _dispatch_gn(x, kernel, a, b)
+
+
+def _conv_same_gn_fwd(x, kernel, a, b):
+    return _conv_same_gn(x, kernel, a, b), (x, kernel, a, b)
+
+
+def _conv_same_gn_bwd(res, g):
+    x, kernel, a, b = res
+    g = g.astype(x.dtype)
+    wf = jnp.flip(kernel, (0, 1)).transpose(0, 1, 3, 2).astype(x.dtype)
+    dz = _dispatch(g, wf).astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    u = x32 * a[:, None, None, :] + b[:, None, None, :]
+    sig = jax.nn.sigmoid(u)
+    du = dz * (sig * (1.0 + u * (1.0 - sig)))
+    dx = (du * a[:, None, None, :]).astype(x.dtype)
+    da = jnp.sum(du * x32, axis=(1, 2)).astype(a.dtype)
+    db = jnp.sum(du, axis=(1, 2)).astype(b.dtype)
+    z = (u * sig).astype(x.dtype)
+    dk = jax.linear_transpose(lambda k: _conv_xla(z, k), kernel)(g)[0]
+    return dx, dk.astype(kernel.dtype), da, db
+
+
+_conv_same_gn.defvjp(_conv_same_gn_fwd, _conv_same_gn_bwd)
+
+
+def conv2d_same(x: Array, kernel: Array, in_affine=None) -> Array:
     """Stride-1 'same' NHWC conv: Pallas fast path on TPU, XLA otherwise.
 
     kernel is HWIO.  1x1 kernels run as a reshaped dot (measured 9x faster
-    than XLA's 1x1 conv lowering at native-res shapes).
+    than XLA's 1x1 conv lowering at native-res shapes).  ``in_affine=(a, b)``
+    with per-(batch, channel) vectors computes conv(silu(x*a + b), kernel)
+    with the transform fused into the conv's slab load on TPU.
     """
     kh, kw = kernel.shape[:2]
+    if in_affine is not None:
+        a, b = in_affine
+        if kh == 1 and kw == 1:
+            x32 = (x.astype(jnp.float32) * a[:, None, None, :]
+                   + b[:, None, None, :])
+            z = jax.nn.silu(x32).astype(x.dtype)
+            return z @ kernel[0, 0].astype(z.dtype)
+        return _conv_same_gn(x, kernel.astype(x.dtype),
+                             a.astype(jnp.float32), b.astype(jnp.float32))
     if kh == 1 and kw == 1:
         return x @ kernel[0, 0].astype(x.dtype)
     return _conv_same(x, kernel.astype(x.dtype))

@@ -65,6 +65,50 @@ def test_fold_conv_matches_xla_interpret(rng, B, H, W, C, Cout, kh, kw):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "B,H,W,C,Cout",
+    [
+        (2, 16, 32, 64, 64),   # F=2 -> W2=16, nopad fast path
+        (1, 8, 24, 16, 32),    # W2 not a sublane multiple -> padded path
+        (2, 6, 16, 128, 64),   # F=1 nopad
+    ],
+)
+def test_fold_conv_affine_matches_reference_interpret(rng, B, H, W, C, Cout):
+    """In-kernel silu(x*a+b) + conv == XLA silu-affine + lax.conv."""
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, C, Cout)) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.standard_normal((B, C)) * 0.5 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((B, C)) * 0.3, jnp.float32)
+    want = np.asarray(cp._silu_affine_xla(x, k, a, b))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(cp._conv_fold(
+            x, k, compute_dtype=jnp.float32, in_scale=a, in_bias=b,
+            silu=True,
+        ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_gn_gradients_match_composition(rng):
+    """_conv_same_gn custom VJP == jax.grad of the unfused composition."""
+    B, H, W, C, Cout = 1, 8, 8, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, C, Cout)) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.standard_normal((B, C)) * 0.5 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((B, C)) * 0.3, jnp.float32)
+
+    def loss_ours(x, k, a, b):
+        return jnp.sum(jnp.square(cp._conv_same_gn(x, k, a, b)))
+
+    def loss_ref(x, k, a, b):
+        return jnp.sum(jnp.square(cp._silu_affine_xla(x, k, a, b)))
+
+    g1 = jax.grad(loss_ours, argnums=(0, 1, 2, 3))(x, k, a, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, k, a, b)
+    for got, want in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fold_matrices_reconstruct_taps(rng):
     """Every original tap appears exactly once in the folded matrices and
     all other blocks are zero (FLOP accounting of the fold)."""
