@@ -179,7 +179,11 @@ class FlowCompleter(Algorithm):
         null = params["null_embedding"]  # (2,)
         sparse = mask * dense_flow + (1 - mask) * null[None, None, None, :]
         out = self.module.apply({"params": params["net"]}, sparse, frame)
-        weight = self.lmbd + mags / jnp.max(mags, axis=(1, 2), keepdims=True)
+        # safe denominator: a zero-motion sample in the batch otherwise
+        # yields 0/0 -> NaN loss that poisons the params permanently
+        # (the reference's mags.max() has the same hazard on static clips)
+        peak = jnp.maximum(jnp.max(mags, axis=(1, 2), keepdims=True), 1e-6)
+        weight = self.lmbd + mags / peak
         loss = weighted_mse_loss(out, dense_flow, weight)
         return loss, {}
 

@@ -54,6 +54,9 @@ def flow_to_image(flow: Array) -> np.ndarray:
     (e.g. flow_diffuser.py:288).
     """
     flow = np.asarray(flow, np.float32)
+    # non-finite flow (e.g. a diverged model's output) must not crash the
+    # visualizer — NaN floors to INT_MIN under astype(int) below
+    flow = np.nan_to_num(flow, nan=0.0, posinf=0.0, neginf=0.0)
     if flow.ndim == 3:
         flow = flow[None]
     u, v = flow[..., 0], flow[..., 1]

@@ -148,6 +148,23 @@ def test_flow_completer(rng):
     assert "null_embedding" in state.params
 
 
+def test_flow_completer_zero_motion_sample_finite(rng):
+    """A static (all-zero flow) sample must not NaN the loss/grads: the
+    magnitude-weighted loss divides by the per-sample flow peak (found as a
+    0/0 -> permanent param poisoning in the r03 trained-parity run)."""
+    from opticalflowdiffusion_tpu.algorithms.animation import FlowCompleter
+
+    cfg = Config(dict(name="flow_completer", image_size=16, lr=4.5e-6,
+                      weight_decay=2e-4))
+    algo = FlowCompleter(cfg)
+    x = rng.random((2, 16, 16, 8)).astype(np.float32)
+    x[0, ..., -2:] = 0.0  # one static sample in the batch
+    state, loss = _one_grad_step(algo, (x,))
+    assert np.isfinite(loss)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_classifier(rng):
     from opticalflowdiffusion_tpu.algorithms.classifier import Classifier
     from opticalflowdiffusion_tpu.parallel import mesh as meshlib
