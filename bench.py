@@ -68,8 +68,18 @@ PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16 MXU peak
 
 
 def _xla_flops(jitted, *args) -> float:
-    """Total FLOPs of a jitted program from XLA's cost analysis (one AOT
-    compile shared with the timing run when used via lower/compile)."""
+    """Total model FLOPs of a jitted program from XLA's cost analysis.
+
+    Pallas kernels are opaque custom calls to the cost analysis, so the
+    count is taken with the conv lowering forced to XLA (same math, fully
+    visible) — one extra AOT compile, cached across bench runs.  The env
+    override is trace-time state, hence the cache clears around it.
+    """
+    import jax
+
+    prev = os.environ.get("OFD_CONV_BACKEND")
+    os.environ["OFD_CONV_BACKEND"] = "xla"
+    jax.clear_caches()
     try:
         c = jitted.lower(*args).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
@@ -77,6 +87,12 @@ def _xla_flops(jitted, *args) -> float:
         return float(c.get("flops", 0.0))
     except Exception:
         return 0.0
+    finally:
+        if prev is None:
+            os.environ.pop("OFD_CONV_BACKEND", None)
+        else:
+            os.environ["OFD_CONV_BACKEND"] = prev
+        jax.clear_caches()
 
 
 def _mfu(flops: float, dt: float) -> float:

@@ -101,7 +101,6 @@ def _block_h(H: int, W: int, C: int, Cout: int, kh: int, kw: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _conv_pallas(x: Array, kernel: Array, compute_dtype=jnp.bfloat16):
     B, H, W, C = x.shape
     kh, kw, _, Cout = kernel.shape
@@ -320,12 +319,13 @@ def _fold_kernel(xc_ref, hl_ref, w_ref, a_ref, b_ref, out_ref, *scratch,
     out_ref[0] = acc[:].reshape(BH, W2p, C2o).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "silu", "force_F", "norot")
-)
 def _conv_fold(x: Array, kernel: Array, compute_dtype=jnp.bfloat16,
                in_scale=None, in_bias=None, silu=False,
                force_F=None, norot=False):
+    # NOTE: deliberately not jax.jit-wrapped — this always runs inside the
+    # caller's jit, and a nested module-level jit interacts badly with
+    # jax.clear_caches() (KeyError in _lower_jaxpr_to_fun_cached for the
+    # nested closed_call; hit by the bench's trace-time backend switching).
     B, H, W, C = x.shape
     kh, kw, _, Cout = kernel.shape
     F, t0, t1 = _fold_plan(C, Cout, W, kw)
