@@ -67,13 +67,19 @@ def _build_sampler(image_size: int, batch: int, timesteps: int, precision: str):
 PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16 MXU peak
 
 
-def _xla_flops(jitted, *args) -> float:
+def _xla_flops(jitted, *args, scan_steps: int = 1) -> float:
     """Total model FLOPs of a jitted program from XLA's cost analysis.
 
     Pallas kernels are opaque custom calls to the cost analysis, so the
     count is taken with the conv lowering forced to XLA (same math, fully
     visible) — one extra AOT compile, cached across bench runs.  The env
     override is trace-time state, hence the cache clears around it.
+
+    ``scan_steps``: HLO cost analysis counts a while/scan BODY ONCE
+    (measured: scan(body, length=10) reports the same flops as body) —
+    callers whose program is a sampler/train scan must pass the trip
+    count.  Prologue/epilogue flops outside the scan get multiplied too;
+    they are negligible next to the per-step UNet evals.
     """
     import jax
 
@@ -84,7 +90,7 @@ def _xla_flops(jitted, *args) -> float:
         c = jitted.lower(*args).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
-        return float(c.get("flops", 0.0))
+        return float(c.get("flops", 0.0)) * scan_steps
     except Exception:
         return 0.0
     finally:
@@ -119,7 +125,8 @@ def _steps_per_sec(image_size: int, batch: int, timesteps: int,
         float(run(params, cond, rng))  # host readback forces completion
         best = min(best, time.perf_counter() - t0)
     if mfu_out is not None:
-        mfu_out["mfu"] = round(_mfu(_xla_flops(run, params, cond, rng), best), 4)
+        mfu_out["mfu"] = round(_mfu(
+            _xla_flops(run, params, cond, rng, scan_steps=timesteps), best), 4)
     return timesteps / best
 
 
@@ -311,7 +318,9 @@ def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
         float(run(params, cond, rng))
         best = min(best, time.perf_counter() - t0)
     if mfu_out is not None:
-        mfu_out["mfu"] = round(_mfu(_xla_flops(run, params, cond, rng), best), 4)
+        # both ddim and dpmpp run one model eval per scanned step
+        mfu_out["mfu"] = round(_mfu(
+            _xla_flops(run, params, cond, rng, scan_steps=ddim_steps), best), 4)
     return batch / best
 
 
@@ -332,6 +341,32 @@ def _cpu_baseline(image_size: int, batch: int) -> float:
     with open(CPU_BASELINE_FILE, "w") as f:
         json.dump(cache, f, indent=1)
     return sps
+
+
+def _hbm_stream_gbps() -> float:
+    """Measured effective HBM streaming bandwidth: 10 chained read+write
+    passes (y += 1) over a 117 MB bf16 array inside one scan, one host
+    readback.  Scan iterations are separate loop trips (not fused), so
+    each pass moves the full array both ways."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((2, 448, 1024, 64), jnp.bfloat16)
+
+    @jax.jit
+    def run(x):
+        def body(y, _):
+            return y + 1, None
+        y, _ = jax.lax.scan(body, x, None, length=10)
+        return y[0, 0, 0, 0]
+
+    float(run(x))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return x.size * 2 * 2 * 10 / best / 1e9
 
 
 def main():
@@ -405,6 +440,25 @@ def main():
                 extra["mfu_native"] = native_mfu["mfu"]
         except Exception as e:
             extra["sintel_native_ddim50_frames_per_sec_error"] = repr(e)[:200]
+        try:
+            # native-res SERVING path: DPM-Solver++(2M), 20 steps at
+            # matched quality (models/diffusion.py::dpmpp_sample)
+            extra["sintel_native_dpmpp20_frames_per_sec"] = round(
+                _sintel_ddim_frames_per_sec(
+                    precision,
+                    batch=int(os.environ.get("BENCH_SINTEL_NATIVE_BATCH", "2")),
+                    ddim_steps=20, H=448, W=1024, sampler="dpmpp",
+                ), 3
+            )
+        except Exception as e:
+            extra["sintel_native_dpmpp20_frames_per_sec_error"] = repr(e)[:200]
+        try:
+            # measured effective HBM streaming bandwidth (chained y+1 over
+            # a 117 MB array inside one scan) — the roofline context for
+            # the memory-bound native-res rows
+            extra["hbm_stream_gbps"] = round(_hbm_stream_gbps(), 1)
+        except Exception as e:
+            extra["hbm_stream_gbps_error"] = repr(e)[:200]
         try:
             # native-res TRAINING (remat path, algorithms/flow_diffuser.py
             # _remat — the config the rematerialization exists for)

@@ -265,7 +265,7 @@ def _fold_kernel(xc_ref, hl_ref, w_ref, a_ref, b_ref, out_ref, *scratch,
     def put(rows, vals, keep=None):
         if affine:
             v32 = vals.astype(jnp.float32)
-            v32 = v32 * a_ref[0] + b_ref[0]
+            v32 = v32 * a_ref[0, 0] + b_ref[0, 0]
             if silu:
                 v32 = v32 * jax.nn.sigmoid(v32)
             vals = v32
@@ -378,7 +378,10 @@ def _conv_fold(x: Array, kernel: Array, compute_dtype=jnp.bfloat16,
     else:
         av = jnp.zeros((B, C2), jnp.float32)
         bv = av
-    vec = pl.BlockSpec((1, C2), lambda b, i: (b, 0),
+    # (B, 1, C2) with a (1, 1, C2) block: both trailing block dims equal the
+    # array dims — the only always-legal Mosaic block for a per-batch vector
+    av, bv = av[:, None, :], bv[:, None, :]
+    vec = pl.BlockSpec((1, 1, C2), lambda b, i: (b, 0, 0),
                        memory_space=pltpu.VMEM)
 
     R = 16 + (BH + kh - 1) * W2p

@@ -101,8 +101,18 @@ def _eval(algo, state, val_loader, rng, n_batches=8, val_step=None,
         if frechet and "samples" in arts and "tgt_x" in arts:
             s = np.nan_to_num(np.asarray(arts["samples"]))
             t_ = np.nan_to_num(np.asarray(arts["tgt_x"]))
-            frames_fake.append(np.clip((s[..., :3] + 1) * 0.5, 0, 1))
-            frames_real.append(np.clip((t_[..., :3] + 1) * 0.5, 0, 1))
+            if s.shape[-1] >= 3 and t_.shape[-1] >= 3:
+                frames_fake.append(np.clip((s[..., :3] + 1) * 0.5, 0, 1))
+                frames_real.append(np.clip((t_[..., :3] + 1) * 0.5, 0, 1))
+            else:
+                # flow-only target (2-channel samples): feature-space
+                # distance on the colorwheel renders the reference logs
+                # (flow_diffuser.py:288 flow_to_image) instead of raw
+                # frames, which don't exist for this target.
+                from ..utils.visualization import flow_to_image
+
+                frames_fake.append(flow_to_image(s[..., -2:]))
+                frames_real.append(flow_to_image(t_[..., -2:]))
         if "last_step_flow" in arts:
             lerr = np.sqrt(
                 ((flow - np.asarray(arts["last_step_flow"])) ** 2).sum(-1)

@@ -43,6 +43,19 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     )
 
 
+def _adapt_channels(x: jnp.ndarray) -> jnp.ndarray:
+    """Coerce NHWC input to exactly 3 channels: grayscale repeats, 2-channel
+    (flow) inputs get a zero third channel, >3 slices."""
+    c = x.shape[-1]
+    if c == 3:
+        return x
+    if c == 1:
+        return jnp.repeat(x, 3, axis=-1)
+    if c == 2:
+        return jnp.concatenate([x, jnp.zeros_like(x[..., :1])], axis=-1)
+    return x[..., :3]
+
+
 def default_feature_fn(dim: int = 64, seed: int = 0) -> Callable:
     """Fixed random conv feature bank (NOT Inception; see module docstring)."""
     key = jax.random.PRNGKey(seed)
@@ -52,8 +65,9 @@ def default_feature_fn(dim: int = 64, seed: int = 0) -> Callable:
 
     @jax.jit
     def fn(images: jnp.ndarray) -> jnp.ndarray:
+        x = _adapt_channels(images)
         x = jax.lax.conv_general_dilated(
-            images, w1, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            x, w1, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
         x = jax.nn.relu(x)
         x = jax.lax.conv_general_dilated(
@@ -95,11 +109,7 @@ def classifier_feature_fn(
 
     @jax.jit
     def fn(images: jnp.ndarray) -> jnp.ndarray:
-        x = jnp.asarray(images, jnp.float32)
-        if x.shape[-1] == 1:
-            x = jnp.repeat(x, 3, axis=-1)
-        elif x.shape[-1] > 3:
-            x = x[..., :3]
+        x = _adapt_channels(jnp.asarray(images, jnp.float32))
         if x.shape[1] != image_size or x.shape[2] != image_size:
             x = jax.image.resize(
                 x, (x.shape[0], image_size, image_size, x.shape[-1]), "bilinear"
