@@ -8,12 +8,18 @@ a single host readback so tunnel round-trips don't pollute the measurement.
 Compared against a cached single-host CPU baseline (BASELINE.md target:
 >=10x CPU denoise steps/sec/chip).
 
-Prints ONE JSON line with the headline metric plus secondary metrics under
-"extra":
+Incremental emission (VERDICT r3 #2): the headline JSON line prints the
+moment it is measured, and the line is RE-printed (cumulative) after every
+secondary row — the driver parses the LAST line, so a timeout can only
+lose not-yet-measured rows, never the whole run.  A wall-clock budget
+guard (BENCH_BUDGET_S, default 520 s) skips remaining rows with
+``<row>_skipped`` markers instead of dying.  All programs share a
+persistent compilation cache so re-runs skip XLA compile entirely.
+
+Line shape:
   {"metric": "denoise_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
    "vs_baseline": N / cpu_steps_per_sec,
-   "extra": {"train_samples_per_sec": N,
-             "sintel_ddim50_frames_per_sec": N}}
+   "extra": {"train_samples_per_sec": N, ...}}
 
 Set BENCH_HEADLINE_ONLY=1 to skip the secondary measurements.
 """
@@ -25,6 +31,24 @@ import os
 import time
 
 CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "520"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+def _setup_cache():
+    import jax
+
+    path = os.environ.get("OFD_BENCH_CACHE",
+                          os.path.expanduser("~/.cache/ofd_bench_jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def _build_sampler(image_size: int, batch: int, timesteps: int, precision: str):
@@ -66,14 +90,21 @@ def _build_sampler(image_size: int, batch: int, timesteps: int, precision: str):
 
 PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16 MXU peak
 
+_FLOPS_CACHE_FILE = os.path.join(os.path.dirname(__file__),
+                                 ".bench_flops_cache.json")
 
-def _xla_flops(jitted, *args, scan_steps: int = 1) -> float:
+
+def _xla_flops(jitted, *args, scan_steps: int = 1, key: str = None) -> float:
     """Total model FLOPs of a jitted program from XLA's cost analysis.
 
-    Pallas kernels are opaque custom calls to the cost analysis, so the
-    count is taken with the conv lowering forced to XLA (same math, fully
-    visible) — one extra AOT compile, cached across bench runs.  The env
-    override is trace-time state, hence the cache clears around it.
+    The default conv dispatch IS XLA (round 4), so the jitted program is
+    fully visible to the cost analysis as-is — no env flip, and NEVER
+    ``jax.clear_caches()`` (the round-3 bench timed out exactly because it
+    discarded every cached compilation between rows).  When a Pallas
+    backend is forced via OFD_CONV_BACKEND the count would be wrong
+    (opaque custom calls), so we return 0 rather than juggling trace-time
+    env state.  Counts are memoized to a JSON file keyed by ``key`` so
+    re-runs skip even the AOT lowering.
 
     ``scan_steps``: HLO cost analysis counts a while/scan BODY ONCE
     (measured: scan(body, length=10) reports the same flops as body) —
@@ -81,24 +112,31 @@ def _xla_flops(jitted, *args, scan_steps: int = 1) -> float:
     count.  Prologue/epilogue flops outside the scan get multiplied too;
     they are negligible next to the per-step UNet evals.
     """
-    import jax
-
-    prev = os.environ.get("OFD_CONV_BACKEND")
-    os.environ["OFD_CONV_BACKEND"] = "xla"
-    jax.clear_caches()
+    cache = {}
+    if key and os.path.exists(_FLOPS_CACHE_FILE):
+        try:
+            cache = json.load(open(_FLOPS_CACHE_FILE))
+        except Exception:
+            cache = {}
+        if key in cache:
+            return float(cache[key]) * scan_steps
+    if os.environ.get("OFD_CONV_BACKEND") in ("fold", "pallas"):
+        return 0.0
     try:
         c = jitted.lower(*args).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
-        return float(c.get("flops", 0.0)) * scan_steps
+        flops = float(c.get("flops", 0.0))
     except Exception:
         return 0.0
-    finally:
-        if prev is None:
-            os.environ.pop("OFD_CONV_BACKEND", None)
-        else:
-            os.environ["OFD_CONV_BACKEND"] = prev
-        jax.clear_caches()
+    if key:
+        cache[key] = flops
+        try:
+            with open(_FLOPS_CACHE_FILE, "w") as f:
+                json.dump(cache, f)
+        except OSError:
+            pass
+    return flops * scan_steps
 
 
 def _mfu(flops: float, dt: float) -> float:
@@ -126,7 +164,9 @@ def _steps_per_sec(image_size: int, batch: int, timesteps: int,
         best = min(best, time.perf_counter() - t0)
     if mfu_out is not None:
         mfu_out["mfu"] = round(_mfu(
-            _xla_flops(run, params, cond, rng, scan_steps=timesteps), best), 4)
+            _xla_flops(run, params, cond, rng, scan_steps=timesteps,
+                       key=f"sampler-{image_size}x{batch}-{precision}"),
+            best), 4)
     return timesteps / best
 
 
@@ -320,7 +360,9 @@ def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
     if mfu_out is not None:
         # both ddim and dpmpp run one model eval per scanned step
         mfu_out["mfu"] = round(_mfu(
-            _xla_flops(run, params, cond, rng, scan_steps=ddim_steps), best), 4)
+            _xla_flops(run, params, cond, rng, scan_steps=ddim_steps,
+                       key=f"{sampler}-{H}x{W}x{batch}-{precision}"),
+            best), 4)
     return batch / best
 
 
@@ -370,10 +412,13 @@ def _hbm_stream_gbps() -> float:
 
 
 def main():
+    _setup_cache()
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "128"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     timesteps = int(os.environ.get("BENCH_TIMESTEPS", "250"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
+    sintel_b = int(os.environ.get("BENCH_SINTEL_BATCH", "2"))
+    native_b = int(os.environ.get("BENCH_SINTEL_NATIVE_BATCH", "2"))
 
     headline_mfu = {}
     device_sps = _steps_per_sec(image_size, batch, timesteps, precision,
@@ -385,123 +430,87 @@ def main():
     except Exception:
         vs = None
 
-    extra = {}
-    if os.environ.get("BENCH_HEADLINE_ONLY") != "1":
-        try:
-            extra["train_samples_per_sec"] = round(
-                _train_samples_per_sec(image_size, 16, timesteps, precision), 2
-            )
-        except Exception as e:  # secondary metrics must not sink the headline
-            extra["train_samples_per_sec_error"] = repr(e)[:200]
-        try:
-            extra["sintel_ddim50_frames_per_sec"] = round(
-                _sintel_ddim_frames_per_sec(
-                    precision,
-                    batch=int(os.environ.get("BENCH_SINTEL_BATCH", "2")),
-                ), 3
-            )
-        except Exception as e:
-            extra["sintel_ddim50_frames_per_sec_error"] = repr(e)[:200]
-        try:
-            extra["sintel_ddim50_b8_frames_per_sec"] = round(
-                _sintel_ddim_frames_per_sec(precision, batch=8), 3
-            )
-        except Exception as e:
-            extra["sintel_ddim50_b8_frames_per_sec_error"] = repr(e)[:200]
-        try:
-            # serving path: DPM-Solver++(2M) at 20 steps tracks the ODE
-            # solution as well as DDIM needs ~50+ for (tests/test_diffusion)
-            extra["sintel_dpmpp20_b8_frames_per_sec"] = round(
-                _sintel_ddim_frames_per_sec(
-                    precision, batch=8, ddim_steps=20, sampler="dpmpp"
-                ), 3
-            )
-        except Exception as e:
-            extra["sintel_dpmpp20_b8_frames_per_sec_error"] = repr(e)[:200]
-        try:
-            extra["sintel_train_samples_per_sec"] = round(
-                _train_samples_per_sec(
-                    image_size, 16, timesteps, precision, steps=4,
-                    H=256, W=512,
-                ), 2
-            )
-        except Exception as e:
-            extra["sintel_train_samples_per_sec_error"] = repr(e)[:200]
-        try:
-            native_mfu = {}
-            extra["sintel_native_ddim50_frames_per_sec"] = round(
-                _sintel_ddim_frames_per_sec(
-                    precision,
-                    batch=int(os.environ.get("BENCH_SINTEL_NATIVE_BATCH", "2")),
-                    H=448, W=1024, mfu_out=native_mfu,
-                ), 3
-            )
-            if native_mfu.get("mfu"):
-                extra["mfu_native"] = native_mfu["mfu"]
-        except Exception as e:
-            extra["sintel_native_ddim50_frames_per_sec_error"] = repr(e)[:200]
-        try:
-            # native-res SERVING path: DPM-Solver++(2M), 20 steps at
-            # matched quality (models/diffusion.py::dpmpp_sample)
-            extra["sintel_native_dpmpp20_frames_per_sec"] = round(
-                _sintel_ddim_frames_per_sec(
-                    precision,
-                    batch=int(os.environ.get("BENCH_SINTEL_NATIVE_BATCH", "2")),
-                    ddim_steps=20, H=448, W=1024, sampler="dpmpp",
-                ), 3
-            )
-        except Exception as e:
-            extra["sintel_native_dpmpp20_frames_per_sec_error"] = repr(e)[:200]
-        try:
-            # measured effective HBM streaming bandwidth (chained y+1 over
-            # a 117 MB array inside one scan) — the roofline context for
-            # the memory-bound native-res rows
-            extra["hbm_stream_gbps"] = round(_hbm_stream_gbps(), 1)
-        except Exception as e:
-            extra["hbm_stream_gbps_error"] = repr(e)[:200]
-        try:
-            # native-res TRAINING (remat path, algorithms/flow_diffuser.py
-            # _remat — the config the rematerialization exists for)
-            extra["sintel_native_train_samples_per_sec"] = round(
-                _train_samples_per_sec(
-                    image_size, 2, timesteps, precision, steps=3,
-                    H=448, W=1024, remat=True,
-                ), 3
-            )
-        except Exception as e:
-            extra["sintel_native_train_samples_per_sec_error"] = repr(e)[:200]
-        try:
-            extra["video256_train_samples_per_sec"] = round(
-                _video_train_samples_per_sec(precision), 2
-            )
-        except Exception as e:
-            extra["video256_train_samples_per_sec_error"] = repr(e)[:200]
-        try:
-            extra["flow_learner_train_samples_per_sec"] = round(
-                _flow_learner_train_samples_per_sec(), 2
-            )
-        except Exception as e:
-            extra["flow_learner_train_samples_per_sec_error"] = repr(e)[:200]
-        try:
-            extra["flow_learner_bf16_train_samples_per_sec"] = round(
-                _flow_learner_train_samples_per_sec(precision), 2
-            )
-        except Exception as e:
-            extra["flow_learner_bf16_train_samples_per_sec_error"] = repr(e)[:200]
-
+    extra = {"conv_backend": os.environ.get("OFD_CONV_BACKEND", "auto=xla")}
     if headline_mfu.get("mfu"):
         extra["mfu_headline"] = headline_mfu["mfu"]
-    print(
-        json.dumps(
-            {
-                "metric": "denoise_steps_per_sec_per_chip",
-                "value": round(device_sps, 3),
-                "unit": "steps/s",
-                "vs_baseline": vs,
-                "extra": extra,
-            }
-        )
-    )
+    result = {
+        "metric": "denoise_steps_per_sec_per_chip",
+        "value": round(device_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": vs,
+        "extra": extra,
+    }
+    # headline lands the moment it's measured; each row re-prints the
+    # cumulative line so a timeout only loses not-yet-measured rows
+    print(json.dumps(result), flush=True)
+    if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
+        return
+
+    native_mfu = {}
+
+    def _native_row():
+        v = round(_sintel_ddim_frames_per_sec(
+            precision, batch=native_b, H=448, W=1024,
+            mfu_out=native_mfu), 3)
+        if native_mfu.get("mfu"):
+            extra["mfu_native"] = native_mfu["mfu"]
+        return v
+
+    # (name, thunk, worst-case first-run seconds incl. compile) — ordered
+    # by evidentiary priority (VERDICT r3 #1/#3 rows first)
+    rows = [
+        ("sintel_native_ddim50_frames_per_sec", _native_row, 90),
+        ("sintel_ddim50_frames_per_sec",
+         lambda: round(_sintel_ddim_frames_per_sec(precision, batch=sintel_b),
+                       3), 55),
+        ("train_samples_per_sec",
+         lambda: round(_train_samples_per_sec(image_size, 16, timesteps,
+                                              precision), 2), 60),
+        ("sintel_ddim50_b8_frames_per_sec",
+         lambda: round(_sintel_ddim_frames_per_sec(precision, batch=8), 3),
+         55),
+        # serving path: DPM-Solver++(2M) at 20 steps tracks the ODE
+        # solution as well as DDIM needs ~50+ for (tests/test_diffusion)
+        ("sintel_dpmpp20_b8_frames_per_sec",
+         lambda: round(_sintel_ddim_frames_per_sec(
+             precision, batch=8, ddim_steps=20, sampler="dpmpp"), 3), 55),
+        ("sintel_train_samples_per_sec",
+         lambda: round(_train_samples_per_sec(
+             image_size, 16, timesteps, precision, steps=4,
+             H=256, W=512), 2), 60),
+        # native-res SERVING path: DPM-Solver++(2M), 20 steps at matched
+        # quality (models/diffusion.py::dpmpp_sample)
+        ("sintel_native_dpmpp20_frames_per_sec",
+         lambda: round(_sintel_ddim_frames_per_sec(
+             precision, batch=native_b, ddim_steps=20,
+             H=448, W=1024, sampler="dpmpp"), 3), 70),
+        # native-res TRAINING (remat path, algorithms/flow_diffuser.py
+        # _remat — the config the rematerialization exists for)
+        ("sintel_native_train_samples_per_sec",
+         lambda: round(_train_samples_per_sec(
+             image_size, 2, timesteps, precision, steps=3,
+             H=448, W=1024, remat=True), 3), 90),
+        ("video256_train_samples_per_sec",
+         lambda: round(_video_train_samples_per_sec(precision), 2), 60),
+        ("flow_learner_train_samples_per_sec",
+         lambda: round(_flow_learner_train_samples_per_sec(), 2), 60),
+        ("flow_learner_bf16_train_samples_per_sec",
+         lambda: round(_flow_learner_train_samples_per_sec(precision), 2),
+         60),
+        # measured effective HBM streaming bandwidth (chained y+1 over a
+        # 117 MB array inside one scan) — the roofline context for the
+        # memory-bound native-res rows
+        ("hbm_stream_gbps", lambda: round(_hbm_stream_gbps(), 1), 25),
+    ]
+    for name, thunk, est in rows:
+        if _remaining() < est:
+            extra[name + "_skipped"] = True
+        else:
+            try:
+                extra[name] = thunk()
+            except Exception as e:  # a row must never sink the headline
+                extra[name + "_error"] = repr(e)[:200]
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -14,19 +14,29 @@ Two kernel generations live here:
 * v1 ``_conv_pallas`` (kept for A/B benching): row-slab window assembly +
   kh*kw small dots.  Measured 0.8-1.1x XLA — bound by strided gather
   copies, not the MXU (see the v2 comment block below).
-* v2 ``_conv_fold`` (the shipped path): width-folded, flat-slab, aligned
-  taps.  This is the default TPU lowering for qualifying stride-1 convs.
+* v2 ``_conv_fold`` (opt-in): width-folded, flat-slab, aligned taps.
+
+ROUND-4 DISPATCH VERDICT (measured end-to-end on v5e, VERDICT.md r3): the
+fold kernel wins its per-tap microbenches (stem 3.5x, 64->64 1.23x) but
+LOSES in composition — 62.6 vs 131.7 denoise steps/s on the headline
+sampler, and 0.257 vs 0.265 frames/s even at the native-res shape it was
+built for.  Each pallas_call is an opaque custom call: it breaks XLA's
+producer/consumer fusions on both sides, and the extra pad/slice/halo
+assembly around every conv adds HBM passes that a memory-bound program
+cannot afford.  The microbench measures the kernel alone; the program pays
+the fusion barriers.  Therefore the DEFAULT lowering for spatial convs is
+XLA's conv_general_dilated; the fold kernel stays available behind
+``OFD_CONV_BACKEND=fold`` (and v1 behind ``=pallas``) for shapes where an
+END-TO-END A/B shows a win (none known today; tests/test_conv_pallas.py
+keeps both kernels correct).
 
 Semantics: float conv, zero ("same") padding, stride 1, odd kernel.
-Gradients: custom_vjp with the standard XLA transposed-conv backward
-(training correctness unchanged; the forward win is what serving needs —
-the backward can move to Pallas later if training profiles demand it).
+Gradients: custom_vjp with the standard XLA transposed-conv backward.
 
-Dispatch (:func:`conv2d_same`): the fold kernel on TPU when the shape
-qualifies (even H, big spatial extent, slab fits VMEM), XLA conv
-otherwise; ``OFD_CONV_BACKEND=xla|pallas|fold`` overrides.  1x1 convs
-become plain reshaped dots everywhere (the 9x XLA-lowering win needs no
-kernel).
+Dispatch (:func:`conv2d_same`): XLA conv by default everywhere;
+``OFD_CONV_BACKEND=fold|pallas`` force the Pallas kernels (fall back to
+XLA when shape-infeasible).  1x1 convs become plain reshaped dots
+everywhere (the 9x XLA-lowering win needs no kernel).
 """
 
 from __future__ import annotations
@@ -467,10 +477,7 @@ def _use_pallas(x, kernel) -> bool:
 def _dispatch(x: Array, kernel: Array) -> Array:
     backend = os.environ.get("OFD_CONV_BACKEND", "auto")
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    B, H, W, C = x.shape
-    if (backend in ("auto", "fold") and (on_tpu or backend == "fold")
-            and H % 2 == 0 and H * W >= 64 * 64 and _use_fold(x, kernel)):
+    if backend == "fold" and _use_fold(x, kernel):
         return _conv_fold(x, kernel, compute_dtype=cdt)
     if backend == "pallas" and _use_pallas(x, kernel):
         return _conv_pallas(x, kernel, compute_dtype=cdt)
@@ -522,10 +529,7 @@ def _silu_affine_xla(x, kernel, a, b):
 def _dispatch_gn(x, kernel, a, b):
     backend = os.environ.get("OFD_CONV_BACKEND", "auto")
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    B, H, W, C = x.shape
-    if (backend in ("auto", "fold") and (on_tpu or backend == "fold")
-            and H % 2 == 0 and H * W >= 64 * 64 and _use_fold(x, kernel)):
+    if backend == "fold" and _use_fold(x, kernel):
         return _conv_fold(x, kernel, compute_dtype=cdt,
                           in_scale=a, in_bias=b, silu=True)
     return _silu_affine_xla(x, kernel, a, b)
