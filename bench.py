@@ -123,7 +123,13 @@ def _xla_flops(jitted, *args, scan_steps: int = 1, key: str = None) -> float:
     if os.environ.get("OFD_CONV_BACKEND") in ("fold", "pallas"):
         return 0.0
     try:
-        c = jitted.lower(*args).compile().cost_analysis()
+        # cost_analysis() on the LOWERED module (no compile): through the
+        # axon tunnel every XLA compile costs minutes regardless of program
+        # size, so the round-3 lower().compile() here is what blew the
+        # budget.  Pre-optimization flop counts match the compiled analysis
+        # for this model family (convs/dots dominate; fusion doesn't change
+        # math op counts).
+        c = jitted.lower(*args).cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
         flops = float(c.get("flops", 0.0))
@@ -385,11 +391,13 @@ def _cpu_baseline(image_size: int, batch: int) -> float:
     return sps
 
 
-def _hbm_stream_gbps() -> float:
-    """Measured effective HBM streaming bandwidth: 10 chained read+write
-    passes (y += 1) over a 117 MB bf16 array inside one scan, one host
-    readback.  Scan iterations are separate loop trips (not fused), so
-    each pass moves the full array both ways."""
+def _hbm_stream_gbps(passes: int = 200) -> float:
+    """Measured effective HBM streaming bandwidth: ``passes`` chained
+    read+write passes (y += 1) over a 117 MB bf16 array inside one scan,
+    one host readback.  Scan iterations are separate loop trips (not
+    fused), so each pass moves the full array both ways.  The pass count
+    must amortize the device-tunnel launch+readback latency (tens of ms —
+    at 10 passes the round-3 number was launch-bound at "78 GB/s")."""
     import jax
     import jax.numpy as jnp
 
@@ -399,7 +407,7 @@ def _hbm_stream_gbps() -> float:
     def run(x):
         def body(y, _):
             return y + 1, None
-        y, _ = jax.lax.scan(body, x, None, length=10)
+        y, _ = jax.lax.scan(body, x, None, length=passes)
         return y[0, 0, 0, 0]
 
     float(run(x))  # compile + warm
@@ -408,7 +416,7 @@ def _hbm_stream_gbps() -> float:
         t0 = time.perf_counter()
         float(run(x))
         best = min(best, time.perf_counter() - t0)
-    return x.size * 2 * 2 * 10 / best / 1e9
+    return x.size * 2 * 2 * passes / best / 1e9
 
 
 def main():

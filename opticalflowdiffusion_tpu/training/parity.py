@@ -214,9 +214,10 @@ def run_parity(
     seed: int = 0,
     latent: bool = True,
     ae_steps: int = 3000,
-    stages: tuple = ("joint", "flow", "flowloss", "latent", "learner"),
+    stages: tuple = ("joint", "flow", "flowloss", "latent", "flownoise",
+                     "learner", "learner_filter"),
     merge: bool = False,
-    tag: str = "r03",
+    tag: str = "r04",
 ) -> dict:
     import jax
 
@@ -679,12 +680,17 @@ def main():
     ap.add_argument("--sampling-timesteps", type=int, default=50)
     ap.add_argument("--no-latent", action="store_true")
     ap.add_argument("--ae-steps", type=int, default=3000)
-    ap.add_argument("--stages", default="joint,flow,flowloss,latent,learner",
-                    help="comma list of joint,flow,flowloss,ancestral,latent,"
-                         "flownoise,learner,learner_bf16,learner_filter")
+    ap.add_argument(
+        "--stages",
+        # flownoise + learner_filter in the default list per VERDICT r3 #4
+        # (both code paths the reference carries: denoising_diffusion.py
+        # :686-696 noise_space='flow'; flow_learner.py:71-80 filter rep)
+        default="joint,flow,flowloss,latent,flownoise,learner,learner_filter",
+        help="comma list of joint,flow,flowloss,ancestral,latent,"
+             "flownoise,learner,learner_bf16,learner_filter")
     ap.add_argument("--merge", action="store_true",
                     help="merge onto the newest existing parity_r*.json")
-    ap.add_argument("--tag", default="r03",
+    ap.add_argument("--tag", default="r04",
                     help="round tag for parity_<tag>.json / PARITY_<tag>.md")
     ap.add_argument("--report-only", action="store_true",
                     help="regenerate PARITY_<tag>.md from parity_<tag>.json")

@@ -126,11 +126,23 @@ def auto_feature_fn(artifact: str = "classifier-feat"):
     """(feature_fn, source): the trained classifier's features when the
     ``classifier-feat`` artifact is resolvable (training/classifier_pretrain
     publishes it), else the random-conv bank.  ``source`` names which was
-    used so metric keys can carry the provenance."""
+    used so metric keys can carry the provenance.
+
+    The fallback is LOUD (VERDICT r3 #4): it warns with the resolution
+    failure so a parity/eval run silently recording ``frechet_randconv``
+    can never happen again."""
     try:
         fn = classifier_feature_fn(artifact)
         return fn, "classifier"
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"auto_feature_fn: '{artifact}' did not resolve ({e!r}); "
+            "falling back to the random-conv feature bank — Frechet values "
+            "will be recorded as 'frechet_randconv', NOT classifier features.",
+            stacklevel=2,
+        )
         return default_feature_fn(), "randconv"
 
 

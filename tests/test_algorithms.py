@@ -32,6 +32,7 @@ def _one_grad_step(algo, batch, clip=100):
     return state, loss
 
 
+@pytest.mark.slow
 def test_flow_learner_flow_rep(rng):
     from opticalflowdiffusion_tpu.algorithms.flow_learner import FlowLearner
 
@@ -48,6 +49,25 @@ def test_flow_learner_flow_rep(rng):
     assert "grad_flow" in imgs and np.isfinite(imgs["grad_flow"]).all()
 
 
+def test_flow_learner_flow_rep_smoke(rng):
+    """Fast FlowLearner coverage (forward loss only — the value_and_grad +
+    val_step + visualize chain compiles for minutes on the 1-core host and
+    lives in the slow-marked test above; pyramid grads are pinned fast in
+    tests/test_pyramid.py)."""
+    from opticalflowdiffusion_tpu.algorithms.flow_learner import FlowLearner
+
+    cfg = Config(dict(name="flow_learner", flow_max=4, lr=1e-4,
+                      weight_decay=1e-6, zero_init=True, train_aug=False,
+                      levels=[1]))
+    algo = FlowLearner(cfg)
+    batch = _flow_batch(rng)
+    rngk = jax.random.PRNGKey(0)
+    state = algo.init(rngk, batch, clip=100)
+    loss, metrics = jax.jit(algo.loss_fn)(state.params, batch, rngk)
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
 def test_flow_learner_filter_rep(rng):
     from opticalflowdiffusion_tpu.algorithms.flow_learner import FlowLearner
 
@@ -196,6 +216,7 @@ def test_classifier(rng):
     assert np.isfinite(float(vmetrics["validation/loss"]))
 
 
+@pytest.mark.slow
 def test_flow_pred(rng):
     from opticalflowdiffusion_tpu.algorithms.flow_pred import FlowPred
 

@@ -10,6 +10,7 @@ pipeline.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +40,7 @@ def test_nan_charbonnier_bf16_close_to_f32(rng):
     assert abs(bf16 - f32) / f32 < 2e-2, (bf16, f32)
 
 
+@pytest.mark.slow
 def test_flow_learner_bf16_loss_and_grads_match_f32(rng):
     """The full bf16 FlowLearner pipeline (bf16 UNet + bf16 single-pass
     pyramid splat) produces a loss within bf16 tolerance of f32 and healthy

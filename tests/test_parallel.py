@@ -18,6 +18,7 @@ def test_mesh_shapes():
     assert m2.shape == {"data": 4, "model": 2}
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device(rng):
     """Gradient step over the 8-device data mesh == single-device step."""
     from opticalflowdiffusion_tpu.algorithms.flow_learner import FlowLearner
@@ -236,6 +237,7 @@ def test_dp_sp_sampling_matches_single_device(rng):
     )
 
 
+@pytest.mark.slow
 def test_dp_sp_train_with_accumulation(rng):
     """spatial=True x accumulate=2 (VERDICT r2 weak #3): microbatching
     reshapes the leading dim while spatial sharding pins dim 1 (height) —

@@ -75,6 +75,7 @@ def test_phase_splat_grads_match_map(rng, level):
                                    err_msg=name)
 
 
+@pytest.mark.slow
 def test_pyramid_loss_matches_map_path(rng):
     """End-to-end photometric_pyramid_loss value + grads, fast vs map."""
     B, H, W = 1, 16, 16

@@ -36,6 +36,7 @@ def test_frechet_distance_zero_for_identical(rng):
     assert frechet_distance(mu, sig, mu2, sig2) == pytest.approx(8 * 25.0, rel=1e-3)
 
 
+@pytest.mark.slow
 def test_standalone_trainer_tiny(tmp_path, rng):
     from PIL import Image
 
