@@ -153,6 +153,7 @@ def test_frame_generator(rng):
     _one_grad_step(algo, batch)
 
 
+@pytest.mark.slow  # same grad machinery fast-covered by test_flow_completer_zero_motion_sample_finite
 def test_flow_completer(rng):
     from opticalflowdiffusion_tpu.algorithms.animation import FlowCompleter
 

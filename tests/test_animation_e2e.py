@@ -57,6 +57,7 @@ def test_main_animation(tmp_path, monkeypatch, rng):
     assert train and np.isfinite(train[0]["train/loss"])
 
 
+@pytest.mark.slow  # DP+SP sampling also fast-pinned by test_parallel.py::test_dp_sp_sampling_matches_single_device
 def test_sharded_sampling(rng):
     """The full reverse-diffusion scan jits with the batch sharded over the
     data axis (multi-chip serving shape)."""

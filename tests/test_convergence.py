@@ -125,6 +125,7 @@ def test_flow_learner_unsupervised_loss_decreases():
     # zero-flow; photometric loss far below the gt-flow oracle).
 
 
+@pytest.mark.slow
 def test_flow_diffuser_ddim_fewstep(rng):
     """sampling_timesteps < timesteps routes through the DDIM scan."""
     from opticalflowdiffusion_tpu.algorithms.flow_diffuser import FlowDiffuser

@@ -127,7 +127,11 @@ def test_flow_diffuser_val_step(tiny_cfg):
         assert np.isfinite(img).all(), k
 
 
-@pytest.mark.parametrize("target", ["joint", "target", "flow"])
+@pytest.mark.parametrize("target", [
+    "joint",
+    pytest.param("target", marks=pytest.mark.slow),
+    pytest.param("flow", marks=pytest.mark.slow),
+])
 def test_val_step_traces_for_all_targets(tiny_cfg, target):
     """All three target modes trace through val_step with consistent shapes
     (regression: target='flow' returned a non-trajectory sample that the

@@ -111,6 +111,7 @@ def test_common_models(rng):
     assert y.shape == (3, 4, 5)
 
 
+@pytest.mark.slow  # classifier-arch family fast-covered by the resnet tests
 def test_mobilenet_forward(rng):
     from opticalflowdiffusion_tpu.models.mobilenet import MobileNetV2
 
