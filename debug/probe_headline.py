@@ -21,8 +21,9 @@ def main():
     args = ap.parse_args()
 
     import jax
-    from bench import _build_sampler
+    from bench import _build_sampler, _setup_cache
 
+    _setup_cache()
     t0 = time.perf_counter()
     run, params, cond = _build_sampler(
         args.image_size, args.batch, args.timesteps, args.precision)

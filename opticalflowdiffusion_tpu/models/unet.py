@@ -199,15 +199,30 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
+        import os
+
         scale_shift = None
         if time_emb is not None:
             t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
             t = t[:, None, None, :]
             scale_shift = jnp.split(t, 2, axis=-1)
-        h, a, b = Block(self.dim_out, dtype=self.dtype)(
-            x, scale_shift, defer_norm=True
-        )
-        h = Block(self.dim_out, dtype=self.dtype)(h, in_affine=(a, b))
+        # Defer-norm fusion (Block1's GN/scale-shift/SiLU folded into
+        # Block2's conv input) exists for the Pallas fold pipeline, where it
+        # rides the conv slab load.  Under the default XLA lowering it is a
+        # measured LOSS (debug/probe_ab.py: 124.5-135.6 vs 138.7 steps/s
+        # headline, 0.265 vs 0.273 f/s native) — the explicit f32 affine
+        # materializes what XLA's own GN->SiLU->conv fusion kept fused — so
+        # it defaults on only when the fold backend is forced.
+        fold_on = os.environ.get("OFD_CONV_BACKEND") in ("fold", "pallas")
+        fuse = os.environ.get("OFD_FUSE_GN", "1" if fold_on else "0") == "1"
+        if not fuse:
+            h = Block(self.dim_out, dtype=self.dtype)(x, scale_shift)
+            h = Block(self.dim_out, dtype=self.dtype)(h)
+        else:
+            h, a, b = Block(self.dim_out, dtype=self.dtype)(
+                x, scale_shift, defer_norm=True
+            )
+            h = Block(self.dim_out, dtype=self.dtype)(h, in_affine=(a, b))
         if x.shape[-1] != self.dim_out:
             x = Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
         return h + x

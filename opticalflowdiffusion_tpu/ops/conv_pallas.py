@@ -573,16 +573,25 @@ def conv2d_same(x: Array, kernel: Array, in_affine=None) -> Array:
     with the transform fused into the conv's slab load on TPU.
     """
     kh, kw = kernel.shape[:2]
+    # 1x1 routing: the reshaped dot wins its MICRObench 9x at native-res
+    # shapes, but measured END-TO-END (debug/probe_ab.py, v5e) it loses at
+    # every bench shape — 135.6 vs 138.7 steps/s headline, 0.265 vs 0.273
+    # f/s native — because the rank-collapsing reshape around each dot
+    # breaks XLA's elementwise fusion chains exactly like a custom call
+    # would.  Default follows the conv backend: XLA 1x1 conv unless the
+    # Pallas pipeline (whose fold plan assumes dot-form 1x1s) is forced on.
+    fold_on = os.environ.get("OFD_CONV_BACKEND") in ("fold", "pallas")
+    as_dot = os.environ.get("OFD_1X1", "dot" if fold_on else "xla") == "dot"
     if in_affine is not None:
         a, b = in_affine
-        if kh == 1 and kw == 1:
+        if kh == 1 and kw == 1 and as_dot:
             x32 = (x.astype(jnp.float32) * a[:, None, None, :]
                    + b[:, None, None, :])
             z = jax.nn.silu(x32).astype(x.dtype)
             return z @ kernel[0, 0].astype(z.dtype)
         return _conv_same_gn(x, kernel.astype(x.dtype),
                              a.astype(jnp.float32), b.astype(jnp.float32))
-    if kh == 1 and kw == 1:
+    if kh == 1 and kw == 1 and as_dot:
         return x @ kernel[0, 0].astype(x.dtype)
     return _conv_same(x, kernel.astype(x.dtype))
 
