@@ -468,6 +468,14 @@ def main():
     # by evidentiary priority (VERDICT r3 #1/#3 rows first)
     rows = [
         ("sintel_native_ddim50_frames_per_sec", _native_row, 90),
+        # native-res THROUGHPUT row: same program at batch 8 — the thin-b2
+        # XLA conv pipelines are the native-res limiter (debug/
+        # native_roofline.py: 21% of stream BW at b2), and batch amortizes
+        # them: measured 0.273 (b2) -> 0.342 (b4) -> 0.47 (b8) f/s.  The b2
+        # row above stays as the latency-comparable BASELINE.md number.
+        ("sintel_native_ddim50_b8_frames_per_sec",
+         lambda: round(_sintel_ddim_frames_per_sec(
+             precision, batch=8, H=448, W=1024), 3), 90),
         ("sintel_ddim50_frames_per_sec",
          lambda: round(_sintel_ddim_frames_per_sec(precision, batch=sintel_b),
                        3), 55),
