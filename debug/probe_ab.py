@@ -17,11 +17,15 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Knobs are set EXPLICITLY in both directions so the table stays
+# reproducible regardless of what the repo default is (round 4 flipped the
+# defaults to the classic program; these variants still rebuild the r3
+# residue and its two components).
 VARIANTS = [
-    ("default", {}),
-    ("fuse_gn_off", {"OFD_FUSE_GN": "0"}),
-    ("one_by_one_xla", {"OFD_1X1": "xla"}),
-    ("both_off", {"OFD_FUSE_GN": "0", "OFD_1X1": "xla"}),
+    ("classic", {"OFD_FUSE_GN": "0", "OFD_1X1": "xla"}),
+    ("fuse_only", {"OFD_FUSE_GN": "1", "OFD_1X1": "xla"}),
+    ("dot_only", {"OFD_FUSE_GN": "0", "OFD_1X1": "dot"}),
+    ("r3_residue", {"OFD_FUSE_GN": "1", "OFD_1X1": "dot"}),
 ]
 
 

@@ -15,6 +15,7 @@ statistics stay fp32.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -199,8 +200,6 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
-        import os
-
         scale_shift = None
         if time_emb is not None:
             t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))

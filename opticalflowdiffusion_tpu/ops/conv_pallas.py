@@ -33,10 +33,12 @@ keeps both kernels correct).
 Semantics: float conv, zero ("same") padding, stride 1, odd kernel.
 Gradients: custom_vjp with the standard XLA transposed-conv backward.
 
-Dispatch (:func:`conv2d_same`): XLA conv by default everywhere;
+Dispatch (:func:`conv2d_same`): XLA conv by default everywhere —
+INCLUDING 1x1 convs (the reshaped-dot form wins its microbench 9x but
+loses end-to-end at every bench shape; see the comment in conv2d_same).
 ``OFD_CONV_BACKEND=fold|pallas`` force the Pallas kernels (fall back to
-XLA when shape-infeasible).  1x1 convs become plain reshaped dots
-everywhere (the 9x XLA-lowering win needs no kernel).
+XLA when shape-infeasible) and flip 1x1s to dot form, which the fold
+plan assumes; ``OFD_1X1=dot|xla`` overrides independently.
 """
 
 from __future__ import annotations

@@ -152,13 +152,16 @@ def _eval(algo, state, val_loader, rng, n_batches=8, val_step=None,
         out[f"frechet_{src}_floor"] = fidlib.fid_between(
             real[: len(real) // 2], real[len(real) // 2:], feature_fn=fn
         )
-        # discriminability ceiling: Frechet(real, uniform noise) at the same
-        # sample count — anchors the scale so a value at/below the floor
-        # reads as "indistinguishable from real within estimator noise"
-        # rather than as an uninformative small number (VERDICT r3 weak #4)
+        # discriminability ceiling: Frechet(real, uniform noise) at the
+        # floor's n/2 sample count (estimator bias is count-dependent, so
+        # both anchors use the same n) — anchors the scale so a value
+        # at/below the floor reads as "indistinguishable from real within
+        # estimator noise" rather than as an uninformative small number
+        # (VERDICT r3 weak #4)
         noise = np.random.default_rng(0).random(real.shape, dtype=np.float32)
+        half = len(real) // 2
         out[f"frechet_{src}_ceiling"] = fidlib.fid_between(
-            real, noise, feature_fn=fn
+            real[:half], noise[:half], feature_fn=fn
         )
     return out, arts0, batch0
 

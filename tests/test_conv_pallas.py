@@ -133,12 +133,24 @@ def test_fold_matrices_reconstruct_taps(rng):
     assert (seen == F).all()
 
 
-def test_conv2d_same_1x1_is_dot(rng):
+@pytest.mark.parametrize("route", ["dot", "xla"])
+def test_conv2d_same_1x1_routes_match_xla(rng, route, monkeypatch):
+    """Both 1x1 routings (default XLA conv; opt-in reshaped dot) agree with
+    the lax reference, including the fused in_affine (SiLU(x*a+b)) variant.
+    Round-4 default is the XLA conv (see conv2d_same's routing comment);
+    OFD_1X1=dot keeps the fold-pipeline form correct."""
+    monkeypatch.setenv("OFD_1X1", route)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((1, 1, 16, 32)) * 0.1, jnp.float32)
     got = np.asarray(cp.conv2d_same(x, k))
     want = np.asarray(_xla(x, k))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    a = jnp.asarray(rng.standard_normal((2, 16)) * 0.5 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 16)) * 0.1, jnp.float32)
+    got_aff = np.asarray(cp.conv2d_same(x, k, in_affine=(a, b)))
+    z = jax.nn.silu(x * a[:, None, None, :] + b[:, None, None, :])
+    want_aff = np.asarray(_xla(z, k))
+    np.testing.assert_allclose(got_aff, want_aff, rtol=1e-5, atol=1e-5)
 
 
 def test_conv2d_same_gradients_match_xla(rng):
