@@ -92,6 +92,9 @@ PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16 MXU peak
 
 _FLOPS_CACHE_FILE = os.path.join(os.path.dirname(__file__),
                                  ".bench_flops_cache.json")
+# key -> reason for any flop-count failure this run (surfaced as
+# `mfu_*_skipped_reason` in the output line — never silent)
+_FLOPS_ERRORS: dict = {}
 
 
 def _xla_flops(jitted, *args, scan_steps: int = 1, key: str = None) -> float:
@@ -112,6 +115,8 @@ def _xla_flops(jitted, *args, scan_steps: int = 1, key: str = None) -> float:
     count.  Prologue/epilogue flops outside the scan get multiplied too;
     they are negligible next to the per-step UNet evals.
     """
+    import sys
+
     cache = {}
     if key and os.path.exists(_FLOPS_CACHE_FILE):
         try:
@@ -121,6 +126,7 @@ def _xla_flops(jitted, *args, scan_steps: int = 1, key: str = None) -> float:
         if key in cache:
             return float(cache[key]) * scan_steps
     if os.environ.get("OFD_CONV_BACKEND") in ("fold", "pallas"):
+        _FLOPS_ERRORS[key or "?"] = "pallas conv backend forced (opaque)"
         return 0.0
     try:
         # cost_analysis() on the LOWERED module (no compile): through the
@@ -133,7 +139,13 @@ def _xla_flops(jitted, *args, scan_steps: int = 1, key: str = None) -> float:
         if isinstance(c, (list, tuple)):
             c = c[0]
         flops = float(c.get("flops", 0.0))
-    except Exception:
+    except Exception as e:
+        # LOUD failure (VERDICT r4 #3: the silent `return 0.0` here cost
+        # round 4 its MFU evidence in the driver artifact)
+        reason = f"{type(e).__name__}: {e}"
+        print(f"[bench] _xla_flops({key}) failed: {reason}",
+              file=sys.stderr, flush=True)
+        _FLOPS_ERRORS[key or "?"] = reason[:200]
         return 0.0
     if key:
         cache[key] = flops
@@ -393,28 +405,34 @@ def _cpu_baseline(image_size: int, batch: int) -> float:
 
 def _hbm_stream_gbps(passes: int = 200) -> float:
     """Measured effective HBM streaming bandwidth: ``passes`` chained
-    read+write passes (y += 1) over a 117 MB bf16 array inside one scan,
-    one host readback.  Scan iterations are separate loop trips (not
-    fused), so each pass moves the full array both ways.  The pass count
-    must amortize the device-tunnel launch+readback latency (tens of ms —
-    at 10 passes the round-3 number was launch-bound at "78 GB/s")."""
+    read+write passes (y = y*c + d) over a 117 MB bf16 array inside one
+    scan, one host readback.  The body is an FMA with TRACED scalars c, d
+    (not constants): the round-4 ``y + 1`` body let XLA fold consecutive
+    passes, reporting 1302 GB/s — ABOVE the v5e's 819 GB/s hardware HBM
+    peak, which is impossible; with the fold-proof body the same test
+    measures ~790 GB/s (~96% of spec), see debug/bench_lane_packing.py.
+    The pass count must amortize the device-tunnel launch+readback latency
+    (tens of ms — at 10 passes the round-3 number was launch-bound at
+    "78 GB/s")."""
     import jax
     import jax.numpy as jnp
 
     x = jnp.zeros((2, 448, 1024, 64), jnp.bfloat16)
 
     @jax.jit
-    def run(x):
+    def run(x, c, d):
         def body(y, _):
-            return y + 1, None
+            return y * c + d, None
         y, _ = jax.lax.scan(body, x, None, length=passes)
         return y[0, 0, 0, 0]
 
-    float(run(x))  # compile + warm
+    c = jnp.bfloat16(1.0000152587890625)  # representable, != 1
+    d = jnp.bfloat16(1e-3)
+    float(run(x, c, d))  # compile + warm
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        float(run(x))
+        float(run(x, c, d))
         best = min(best, time.perf_counter() - t0)
     return x.size * 2 * 2 * passes / best / 1e9
 
@@ -441,6 +459,9 @@ def main():
     extra = {"conv_backend": os.environ.get("OFD_CONV_BACKEND", "auto=xla")}
     if headline_mfu.get("mfu"):
         extra["mfu_headline"] = headline_mfu["mfu"]
+    else:
+        extra["mfu_headline_skipped_reason"] = _FLOPS_ERRORS.get(
+            f"sampler-{image_size}x{batch}-{precision}", "flops=0")
     result = {
         "metric": "denoise_steps_per_sec_per_chip",
         "value": round(device_sps, 3),
@@ -462,6 +483,9 @@ def main():
             mfu_out=native_mfu), 3)
         if native_mfu.get("mfu"):
             extra["mfu_native"] = native_mfu["mfu"]
+        else:
+            extra["mfu_native_skipped_reason"] = _FLOPS_ERRORS.get(
+                f"ddim-448x1024x{native_b}-{precision}", "flops=0")
         return v
 
     # (name, thunk, worst-case first-run seconds incl. compile) — ordered

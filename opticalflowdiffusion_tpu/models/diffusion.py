@@ -559,8 +559,16 @@ def ddim_sample(
             (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
         )
         c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma ** 2, 0.0))
-        noise = jax.random.normal(noise_rng, shape, jnp.float32)
-        out = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+        out = x_start * jnp.sqrt(alpha_next) + c * pred_noise
+        if eta != 0:
+            # deterministic DDIM (eta=0, the reference default :758) never
+            # adds noise — sigma is identically 0, but XLA cannot fold
+            # sigma*normal() away (sqrt may be NaN), so the eta==0 program
+            # would pay a full threefry pass per step for a zero term.
+            # The rng split above stays either way so the key stream (and
+            # thus every other draw) is identical across the two paths.
+            noise = jax.random.normal(noise_rng, shape, jnp.float32)
+            out = out + sigma * noise
         out = jnp.where(t_next < 0, x_start, out)
         return (out, rng), (out, additional)
 

@@ -379,7 +379,13 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         B, H, W, C = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        # nearest-neighbor 2x as ONE broadcast+reshape: the chained
+        # jnp.repeat form materialized two full-res intermediates per
+        # Upsample (measured in the native-res HLO byte map,
+        # debug/hlo_bytes.py); this form is bit-identical and one pass
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (B, H, 2, W, 2, C)
+        ).reshape(B, 2 * H, 2 * W, C)
         return Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
 
 
