@@ -26,6 +26,7 @@ Set BENCH_HEADLINE_ONLY=1 to skip the secondary measurements.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -76,7 +77,9 @@ def _build_sampler(image_size: int, batch: int, timesteps: int, precision: str):
     t = jnp.zeros((batch,), jnp.int32)
     params = jax.jit(algo.module.init)(rng, x, cond, t, None)["params"]
 
-    @jax.jit
+    from opticalflowdiffusion_tpu.utils import xla_opts
+
+    @functools.partial(jax.jit, compiler_options=xla_opts.compiler_options())
     def run(params, cond, rng):
         img, _ = dm.p_sample_loop(
             algo.sched, algo._model_fn(params), rng,
@@ -359,9 +362,11 @@ def _sintel_ddim_frames_per_sec(precision: str, batch: int = 2,
     t = jnp.zeros((batch,), jnp.int32)
     params = jax.jit(algo.module.init)(rng, x, cond, t, None)["params"]
 
+    from opticalflowdiffusion_tpu.utils import xla_opts
+
     sample_fn = dm.dpmpp_sample if sampler == "dpmpp" else dm.ddim_sample
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=xla_opts.compiler_options())
     def run(params, cond, rng):
         img, _ = sample_fn(
             algo.sched, algo._model_fn(params), rng,

@@ -51,14 +51,20 @@ def min_per_pixel_loss(ref, past_warped, future_warped) -> Array:
     )
 
 
-def total_loss(ref, past_warped, future_warped, p_flow, f_flow, occ) -> Array:
-    """losses.py:56-65."""
+def total_loss(ref, past_warped, future_warped, p_flow, f_flow, occ,
+               smoothness_weight: float = 1.0,
+               occ_weight: float = 1.0) -> Array:
+    """losses.py:56-65.  Defaults are reference-exact; the weight knobs are
+    a rebuild extension (PARITY.md) for the operating-point hunt — the
+    reference's sum-reduced smoothness terms dominate the loss at full
+    image size, which is the working hypothesis for PWCLearner's unusable
+    full-image EPE (VERDICT r3/r4 weak: 1.337 vs 0.059 zero-flow)."""
     return (
         photometric_loss(ref, past_warped, future_warped, occ)
-        + edgeaware_smoothness1(ref, p_flow)
-        + edgeaware_smoothness1(ref, f_flow)
-        + occlusion_smoothness(ref, occ)
-        + 0.05 * occlusion_prior(occ)
+        + smoothness_weight * edgeaware_smoothness1(ref, p_flow)
+        + smoothness_weight * edgeaware_smoothness1(ref, f_flow)
+        + occ_weight * occlusion_smoothness(ref, occ)
+        + occ_weight * 0.05 * occlusion_prior(occ)
     )
 
 

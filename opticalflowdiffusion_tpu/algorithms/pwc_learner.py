@@ -34,6 +34,10 @@ class PWCLearner(Algorithm):
     def __init__(self, cfg: Config):
         super().__init__(cfg)
         self.module = PWCNet(dtype=self.dtype)
+        # rebuild extension knobs (default = reference-exact losses.py:56-65;
+        # see losses.total_loss docstring / PARITY.md)
+        self.smoothness_weight = float(cfg.get("smoothness_weight", 1.0))
+        self.occ_weight = float(cfg.get("occ_weight", 1.0))
 
     def init(self, rng, batch, clip=None) -> TrainState:
         f1, f2, f3, _ = _three_frames(batch)
@@ -46,6 +50,8 @@ class PWCLearner(Algorithm):
             loss = loss + LEVEL_WEIGHTS[i] * total_loss(
                 tar_ds[i], warped_imgs[i][1], warped_imgs[i][0],
                 flow_bwd[i], flow_fwd[i], occ[i],
+                smoothness_weight=self.smoothness_weight,
+                occ_weight=self.occ_weight,
             )
         return loss
 

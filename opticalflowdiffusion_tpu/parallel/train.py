@@ -20,6 +20,7 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS
+from ..utils import xla_opts
 from ..utils.grad_stats import grad_norm_stats
 
 
@@ -165,6 +166,7 @@ def make_train_step(
         step,
         in_shardings=(repl, batch_sh, repl),
         donate_argnums=(0,) if donate_state else (),
+        compiler_options=xla_opts.compiler_options(),
     )
 
     def call(state: TrainState, batch, rng):
@@ -192,7 +194,8 @@ def make_eval_step(fn: Callable, mesh, static_argnums=(), spatial: bool = False)
     repl = NamedSharding(mesh, P())
     data_sh = None if spatial else NamedSharding(mesh, P(DATA_AXIS))
     jitted = jax.jit(
-        fn, in_shardings=(repl, data_sh, None), static_argnums=static_argnums
+        fn, in_shardings=(repl, data_sh, None), static_argnums=static_argnums,
+        compiler_options=xla_opts.compiler_options(),
     )
 
     def call(params, batch, rng):

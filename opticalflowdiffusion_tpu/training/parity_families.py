@@ -71,8 +71,8 @@ def _save_all_visuals(algo, batch, arts, out_dir: Path, prefix: str):
     return saved
 
 
-def _flush(out: Path, results: dict) -> None:
-    with open(out / "parity_families_r03.json", "w") as fh:
+def _flush(out: Path, results: dict, tag: str = "r05") -> None:
+    with open(out / f"parity_families_{tag}.json", "w") as fh:
         json.dump(results, fh, indent=1)
 
 
@@ -81,7 +81,8 @@ def run_families(
     steps: int = 3000,
     batch: int = 16,
     seed: int = 0,
-    stages: tuple = ("matrix", "pwc", "framegen", "completer"),
+    stages: tuple = ("matrix", "pwc", "pwc_hunt", "framegen", "completer"),
+    tag: str = "r05",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -95,7 +96,9 @@ def run_families(
     out.mkdir(parents=True, exist_ok=True)
     mesh = meshlib.make_mesh()
     results = {}
-    jf = out / "parity_families_r03.json"
+    # continue onto this round's file if present, else start fresh (earlier
+    # rounds' evidence stays in their own parity_families_r*.json)
+    jf = out / f"parity_families_{tag}.json"
     if jf.exists():
         results = json.loads(jf.read_text())
     results.update(
@@ -141,19 +144,22 @@ def run_families(
         )
         print(f"[families] matrix_flow: {json.dumps(final_m)}")
         del state
-        _flush(out, results)
+        _flush(out, results, tag)
 
     # ------------------------------------------------------------ PWCLearner
-    if "pwc" in stages:
+    def pwc_run(key: str, extra: list = (), pwc_steps: int = None,
+                visuals_prefix: str = None):
         from ..algorithms.pwc_learner import PWCLearner
         from ..data.artificial_video import ArtificialVideoDataset
 
-        print("[families] PWCLearner (3-frame) on constant-velocity video")
+        pwc_steps = pwc_steps or steps
+        print(f"[families] PWCLearner ({key}) on constant-velocity video")
         cfg = compose([
             "experiment=matrix_flow", "dataset=artificial_video",
             "dataset.image_size=64", "dataset.size=4096",
             "dataset.val_length=2", "+dataset.max_motion=2",
             "algorithm=pwc_learner", "algorithm.lr=1e-4",
+            *extra,
         ])
 
         class ThreeFrame:
@@ -190,20 +196,50 @@ def run_families(
         init_m, _, _ = _val_avg(algo, state0, val_loader, rng,
                                 n_batches=2, val_step=val_step)
         del state0
-        state, curve, perf = _train(algo, train_loader, mesh, rng, steps,
-                                    clip=100)
+        state, curve, perf = _train(algo, train_loader, mesh, rng,
+                                    pwc_steps, clip=100)
         final_m, arts, batch0 = _val_avg(algo, state, val_loader, rng,
                                          val_step=val_step)
         final_m.update(_flow_epe_split(np.asarray(arts["flow_fwd"]),
                                        np.asarray(batch0[3])))
-        visuals = _save_all_visuals(algo, batch0, arts, out, "pwc_learner")
-        results["pwc_learner"] = dict(
-            steps=steps, init=init_m, final=final_m, loss_curve=curve,
-            perf=perf, visuals=visuals,
+        if visuals_prefix:
+            visuals = _save_all_visuals(algo, batch0, arts, out,
+                                        visuals_prefix)
+        else:
+            visuals = []
+        results[key] = dict(
+            steps=pwc_steps, init=init_m, final=final_m, loss_curve=curve,
+            perf=perf, visuals=visuals, overrides=list(extra),
         )
-        print(f"[families] pwc_learner: {json.dumps(final_m)}")
+        print(f"[families] {key}: {json.dumps(final_m)}")
         del state
-        _flush(out, results)
+        _flush(out, results, tag)
+        return final_m
+
+    if "pwc" in stages:
+        pwc_run("pwc_learner", visuals_prefix="pwc_learner")
+
+    if "pwc_hunt" in stages:
+        # VERDICT r4 #7 / weak #6: the reference-exact objective trains to
+        # full-image EPE far above zero-flow (its SUM-reduced edge-aware
+        # smoothness terms dominate at image size).  Hunt a usable
+        # operating point over the rebuild's smoothness/occ weight knobs
+        # (losses.total_loss, defaults reference-exact) at 1/3 budget,
+        # then train the best at full budget as `pwc_learner_tuned`.
+        grid = [
+            ("sw0.1", ["+algorithm.smoothness_weight=0.1"]),
+            ("sw0.01", ["+algorithm.smoothness_weight=0.01"]),
+            ("sw0.01_ow0.1", ["+algorithm.smoothness_weight=0.01",
+                              "+algorithm.occ_weight=0.1"]),
+        ]
+        scores = {}
+        for hk, extra in grid:
+            m = pwc_run(f"pwc_hunt_{hk}", extra, pwc_steps=max(steps // 3, 500))
+            scores[hk] = float(m.get("val/epe", float("inf")))
+        best = min(scores, key=scores.get)
+        results["pwc_hunt_best"] = dict(config=best, scores=scores)
+        pwc_run("pwc_learner_tuned", dict(grid)[best],
+                visuals_prefix="pwc_learner_tuned")
 
     # --------------------------------------------------------- FrameGenerator
     if "framegen" in stages:
@@ -245,7 +281,7 @@ def run_families(
         )
         print(f"[families] frame_generator: {json.dumps(final_m)}")
         del state
-        _flush(out, results)
+        _flush(out, results, tag)
 
     # ---------------------------------------------------------- FlowCompleter
     if "completer" in stages:
@@ -293,10 +329,10 @@ def run_families(
         )
         print(f"[families] flow_completer: {json.dumps(final_m)}")
         del state
-        _flush(out, results)
+        _flush(out, results, tag)
 
-    _flush(out, results)
-    _write_report(out, results)
+    _flush(out, results, tag)
+    _write_report(out, results, tag)
     return results
 
 
@@ -381,9 +417,10 @@ def _completer_density_sweep(algo, params, val_loader, ks=(1, 4, 9),
     return scores
 
 
-def _write_report(out: Path, r: dict) -> None:
+def _write_report(out: Path, r: dict, tag: str = "r05") -> None:
     mf, pw = r.get("matrix_flow_filter_pred"), r.get("pwc_learner")
     fg, fc = r.get("frame_generator"), r.get("flow_completer")
+    pwt = r.get("pwc_learner_tuned")
 
     def g(d, phase, key, fmt="{:.4f}"):
         if d is None:
@@ -422,6 +459,25 @@ library (losses.py:3-66) over 5 pyramid levels:
 | EPE on static pixels | — | {g(pw, 'final', 'epe_static')} | 0 |
 
 ({pw['steps']} steps @ {pw['perf']['steps_per_sec']:.1f} steps/s.)
+"""
+
+    hunt = r.get("pwc_hunt_best")
+    pwt_block = "" if pwt is None else f"""### PWCLearner tuned operating point (rebuild extension)
+
+The reference-exact objective's SUM-reduced smoothness terms dominate at
+full image size, so the trained full-image EPE lands far above zero-flow
+(the row above; carried VERDICT weak since r3).  The rebuild adds
+objective-weight knobs (`algorithm.smoothness_weight` / `occ_weight`,
+defaults reference-exact — losses.py::total_loss) and hunts an operating
+point at 1/3 budget{f" (winner: {hunt['config']}, sweep EPEs {hunt['scores']})" if hunt else ""}:
+
+| metric | @init | trained (tuned) | zero-flow baseline |
+|---|---|---|---|
+| val/epe (full-res fwd flow) | {g(pwt, 'init', 'val/epe')} | {g(pwt, 'final', 'val/epe')} | {g(pwt, 'final', 'zero_flow_epe')} |
+| EPE on moving pixels | — | {g(pwt, 'final', 'epe_moving')} | {g(pwt, 'final', 'zero_flow_epe_moving')} |
+| EPE on static pixels | — | {g(pwt, 'final', 'epe_static')} | 0 |
+
+(overrides: {pwt.get('overrides')}; {pwt['steps']} steps.)
 """
 
     fg_block = "" if fg is None else f"""## FrameGenerator (autoregressive rollout)
@@ -465,20 +521,21 @@ elsewhere):
 ({fc['steps']} steps @ {fc['perf']['steps_per_sec']:.1f} steps/s.)
 """
 
-    text = f"""# PARITY (families) r03 — trained evidence for the remaining algorithm families
+    text = f"""# PARITY (families) {tag} — trained evidence for the remaining algorithm families
 
 Device: {r.get('device')} ({r.get('n_devices')} in mesh).  Produced by
 `python -m opticalflowdiffusion_tpu.training.parity_families`; raw numbers
-in `parity_families_r03.json`, sample grids alongside.  Flagship
-FlowDiffuser/FlowLearner/AE evidence lives in PARITY_r02.md (r2) and the
-merged stages of parity_r02.json.
+in `parity_families_{tag}.json`, sample grids alongside.  Flagship
+FlowDiffuser/FlowLearner/AE evidence lives in PARITY_{tag}.md and
+parity_{tag}.json.
 
 {mf_block}
 {pw_block}
+{pwt_block}
 {fg_block}
 {fc_block}
 """
-    (out / "PARITY_families_r03.md").write_text(text)
+    (out / f"PARITY_families_{tag}.md").write_text(text)
 
 
 def main():
@@ -486,19 +543,26 @@ def main():
     ap.add_argument("--out-dir", default="parity")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--stages", default="matrix,pwc,framegen,completer")
+    ap.add_argument("--stages",
+                    default="matrix,pwc,pwc_hunt,framegen,completer")
+    ap.add_argument("--tag", default="r05")
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
     if args.report_only:
         out = Path(args.out_dir)
         _write_report(
-            out, json.loads((out / "parity_families_r03.json").read_text())
+            out,
+            json.loads(
+                (out / f"parity_families_{args.tag}.json").read_text()
+            ),
+            tag=args.tag,
         )
-        print(f"[families] report at {out / 'PARITY_families_r03.md'}")
+        print(f"[families] report at "
+              f"{out / ('PARITY_families_' + args.tag + '.md')}")
         return
     run_families(
         out_dir=args.out_dir, steps=args.steps, batch=args.batch,
-        stages=tuple(args.stages.split(",")),
+        stages=tuple(args.stages.split(",")), tag=args.tag,
     )
 
 
