@@ -225,14 +225,15 @@ def main():
             res = dict(dataset=name, ok=False, error=repr(e)[:500])
         print(json.dumps(res))
         results.append(res)
+        if args.out:
+            # append per-leg: a later leg's timeout must not lose the
+            # finished legs' rows (the r05 run lost sintel+chairs this way)
+            with open(args.out, "a") as fh:
+                fh.write(json.dumps(res) + "\n")
         if not args.keep:
             import shutil
 
             shutil.rmtree(workdir, ignore_errors=True)
-    if args.out:
-        with open(args.out, "a") as fh:
-            for r in results:
-                fh.write(json.dumps(r) + "\n")
     if not all(r.get("ok") for r in results):
         sys.exit(1)
 
